@@ -1,0 +1,73 @@
+"""Speaker and language encoders.
+
+Re-provides lightning/model/speaker_encoder.py:15-167:
+- "table": per-speaker embedding table
+- "shared": one shared embedding for all speakers
+- "encoder"/"dvec"/"scratch_encoder": GE2E d-vector LSTM encoder over
+  speaker-reference mel slices (resemblyzer VoiceEncoder architecture:
+  3-layer LSTM(40->256) -> Linear(256) -> relu -> L2 norm, partials
+  averaged then re-normalized). "dvec" freezes the weights (handled by the
+  optimizer partition in systems/), "encoder" fine-tunes pretrained weights,
+  "scratch_encoder" trains from scratch.
+- LanguageEncoder: language-id table, fixed capacity 100 languages.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+class GE2EEncoder(nn.Module):
+    """GE2E d-vector encoder (resemblyzer-compatible shapes)."""
+    mel_n_channels: int = 40
+    hidden_size: int = 256
+    num_layers: int = 3
+    out_dim: int = 256
+
+    @nn.compact
+    def __call__(self, mel_slices):
+        """mel_slices: (N_slices, T, mel_n_channels) -> (out_dim,) d-vector."""
+        x = mel_slices
+        for i in range(self.num_layers):
+            rnn = nn.RNN(nn.LSTMCell(self.hidden_size), name=f"lstm_{i}")
+            x = rnn(x)
+        h_last = x[:, -1]                          # (N, hidden)
+        e = nn.Dense(self.out_dim, name="proj")(h_last)
+        e = nn.relu(e)
+        e = e / (jnp.linalg.norm(e, axis=-1, keepdims=True) + 1e-5)
+        d = jnp.mean(e, axis=0)
+        return d / (jnp.linalg.norm(d) + 1e-5)
+
+
+class SpeakerEncoder(nn.Module):
+    emb_type: str = "table"
+    n_speakers: int = 1
+    d_model: int = 256
+
+    @nn.compact
+    def __call__(self, speaker_args):
+        """speaker_args: int speaker ids (B,) for table/shared, or mel slices
+        (B, N_slices, T, 40) for encoder types. Returns (B, d_model)."""
+        if self.emb_type == "table":
+            return nn.Embed(self.n_speakers, self.d_model, name="table")(speaker_args)
+        if self.emb_type == "shared":
+            return nn.Embed(1, self.d_model, name="table")(
+                jnp.zeros_like(speaker_args))
+        if self.emb_type in ("encoder", "dvec", "scratch_encoder"):
+            enc = GE2EEncoder(out_dim=self.d_model, name="ge2e")
+            return jax.vmap(enc)(speaker_args)
+        raise ValueError(f"Unknown speaker emb_type: {self.emb_type}")
+
+
+class LanguageEncoder(nn.Module):
+    """Language-id table; fixed at 100 languages like the reference
+    (fastspeech2m.py:44-45)."""
+    n_languages: int = 100
+    d_model: int = 256
+
+    @nn.compact
+    def __call__(self, lang_args):
+        return nn.Embed(self.n_languages, self.d_model, name="table")(lang_args)

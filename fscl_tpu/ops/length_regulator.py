@@ -1,0 +1,65 @@
+"""Length regulator as a static-shape gather.
+
+The reference expands phoneme hidden states by per-phoneme durations with a
+Python loop over the batch and a `torch.cat` of `expand`s
+(lightning/model/modules.py:169-196) — dynamic shapes, host control flow.
+
+TPU-native design: for each output frame t we need the index of the phoneme
+whose cumulative-duration interval contains t:
+
+    j(t) = #{ l : cumsum(durations)[l] <= t }
+
+which is a vectorized `searchsorted` over the (monotone) cumsum — one gather,
+static output length, no data-dependent shapes. Frames beyond the total
+length map out-of-range and are zeroed.
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def regulate_lengths(
+    x: jnp.ndarray,            # (B, L, D) phoneme-level features
+    durations: jnp.ndarray,    # (B, L) int frame counts (>= 0)
+    max_mel_len: int,          # static output length
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Expand x by durations. Returns (out (B, max_mel_len, D), mel_len (B,)).
+
+    Semantics match LengthRegulator.LR (modules.py:169-196): frame t of
+    sample b is a copy of x[b, j] where j is the phoneme covering t; output
+    rows past the total duration are zero (reference pads with zeros).
+    """
+    durations = durations.astype(jnp.int32)
+    csum = jnp.cumsum(durations, axis=-1)              # (B, L)
+    mel_len = csum[:, -1]                              # (B,)
+    t = jnp.arange(max_mel_len, dtype=jnp.int32)       # (T,)
+
+    # frame -> phoneme index: number of boundaries <= t  (vmapped searchsorted)
+    idx = jax.vmap(lambda c: jnp.searchsorted(c, t, side="right"))(csum)  # (B, T)
+    valid = t[None, :] < mel_len[:, None]
+    idx = jnp.clip(idx, 0, x.shape[1] - 1)
+    out = jnp.take_along_axis(x, idx[..., None], axis=1)
+    out = jnp.where(valid[..., None], out, jnp.zeros((), dtype=x.dtype))
+    return out, mel_len
+
+
+def gather_frame_labels(
+    labels: jnp.ndarray,       # (B, L) int per-phoneme labels
+    durations: jnp.ndarray,    # (B, L) int frame counts
+    max_mel_len: int,
+    pad_value: int = 0,
+) -> jnp.ndarray:
+    """Expand per-phoneme labels to per-frame labels (used by PR datasets,
+    reference lightning/datasets/phoneme_recognition/PRDataset.py)."""
+    durations = durations.astype(jnp.int32)
+    csum = jnp.cumsum(durations, axis=-1)
+    mel_len = csum[:, -1]
+    t = jnp.arange(max_mel_len, dtype=jnp.int32)
+    idx = jax.vmap(lambda c: jnp.searchsorted(c, t, side="right"))(csum)
+    valid = t[None, :] < mel_len[:, None]
+    idx = jnp.clip(idx, 0, labels.shape[1] - 1)
+    out = jnp.take_along_axis(labels, idx, axis=1)
+    return jnp.where(valid, out, jnp.asarray(pad_value, dtype=labels.dtype))

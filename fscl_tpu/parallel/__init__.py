@@ -1,0 +1,4 @@
+from fscl_tpu.parallel.mesh import (
+    DATA_AXIS, MODEL_AXIS, make_mesh, batch_sharding, replicated,
+    shard_batch, replicate,
+)

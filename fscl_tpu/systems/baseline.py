@@ -1,0 +1,117 @@
+"""BaselineSystem: supervised multilingual FastSpeech2.
+
+Equivalent of lightning/systems/language/FastSpeech2.py:13-141 — a
+MultilingualEmbedding feeding the headless FastSpeech2, trained with the
+full FastSpeech2 loss; `synthesize` mirrors the `inference()` API
+(FastSpeech2.py:112-141).
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from fscl_tpu.core.config import ModelConfig, OptimConfig
+from fscl_tpu.core.registry import SYSTEMS
+from fscl_tpu.core.stats import DEFAULT_STATS, GlobalStats
+from fscl_tpu.data.batch import Batch
+from fscl_tpu.models.fastspeech2 import FastSpeech2
+from fscl_tpu.nn.embeddings import MultilingualEmbedding
+from fscl_tpu.nn.losses import fastspeech2_loss
+from fscl_tpu.systems.base import System
+
+
+@SYSTEMS.register("baseline", "baseline-tune")
+class BaselineSystem(System):
+    def __init__(
+        self,
+        model_cfg: ModelConfig,
+        optim_cfg: OptimConfig,
+        id2symbols: Tuple[Tuple[str, int], ...],
+        stats: GlobalStats = DEFAULT_STATS,
+    ):
+        super().__init__(optim_cfg)
+        self.model_cfg = model_cfg
+        self.stats = stats
+        self.embedding_model = MultilingualEmbedding(
+            id2symbols, model_cfg.transformer.encoder_hidden)
+        self.model = FastSpeech2(model_cfg, stats)
+
+    # -- setup ---------------------------------------------------------------
+    def init_variables(self, rng, batch: Batch) -> Dict[str, Any]:
+        r1, r2 = jax.random.split(rng)
+        emb_vars = self.embedding_model.init(r1, jnp.asarray(batch.texts))
+        emb = self.embedding_model.apply(emb_vars, jnp.asarray(batch.texts))
+        T = batch.mels.shape[1]
+        model_vars = self.model.init(
+            r2, emb, jnp.asarray(batch.src_lens), T,
+            speaker_args=jnp.asarray(batch.speaker_args),
+            mel_lens=jnp.asarray(batch.mel_lens),
+            p_targets=jnp.asarray(batch.pitches),
+            e_targets=jnp.asarray(batch.energies),
+            d_targets=jnp.asarray(batch.durations),
+            lang_args=jnp.asarray(batch.lang_ids),
+        )
+        variables = {"params": {"embedding": emb_vars["params"],
+                                "model": model_vars["params"]}}
+        if "batch_stats" in model_vars:
+            variables["batch_stats"] = {"model": model_vars["batch_stats"]}
+        return variables
+
+    # -- forward -------------------------------------------------------------
+    def forward(self, params, batch_stats, batch: Batch, rng=None,
+                train: bool = False, symbol_id: Optional[str] = None):
+        emb = self.embedding_model.apply(
+            {"params": params["embedding"]}, batch.texts, symbol_id)
+        model_vars = {"params": params["model"]}
+        mutable = []
+        if batch_stats is not None:
+            model_vars["batch_stats"] = batch_stats["model"]
+            mutable = ["batch_stats"] if train else []
+        rngs = {"dropout": rng} if train and rng is not None else None
+        T = batch.mels.shape[1]
+        out = self.model.apply(
+            model_vars, emb, batch.src_lens, T,
+            speaker_args=batch.speaker_args,
+            mel_lens=batch.mel_lens,
+            p_targets=batch.pitches, e_targets=batch.energies,
+            d_targets=batch.durations,
+            lang_args=batch.lang_ids,
+            deterministic=not train,
+            rngs=rngs, mutable=mutable,
+        )
+        new_bs = None
+        if mutable:
+            out, updates = out
+            new_bs = {"model": updates["batch_stats"]}
+        return out, new_bs
+
+    def loss_and_metrics(self, params, batch_stats, batch: Batch, rng, train):
+        out, new_bs = self.forward(params, batch_stats, batch, rng, train)
+        losses = fastspeech2_loss(
+            out.mel, out.postnet_mel, out.pitch_prediction,
+            out.energy_prediction, out.log_duration_prediction,
+            batch.mels, batch.pitches, batch.energies, batch.durations,
+            out.src_valid, out.mel_valid,
+            self.model_cfg.variance.pitch_feature,
+            self.model_cfg.variance.energy_feature,
+        )
+        return losses.total, (losses.as_dict(), new_bs)
+
+    # -- inference -----------------------------------------------------------
+    def synthesize(self, params, batch_stats, texts, src_lens, max_mel_len,
+                   speaker_args, lang_ids, symbol_id: Optional[str] = None,
+                   p_control=1.0, e_control=1.0, d_control=1.0):
+        """No-target forward: durations/pitch/energy predicted
+        (language/FastSpeech2.py:112-141)."""
+        emb = self.embedding_model.apply(
+            {"params": params["embedding"]}, texts, symbol_id)
+        model_vars = {"params": params["model"]}
+        if batch_stats is not None:
+            model_vars["batch_stats"] = batch_stats["model"]
+        return self.model.apply(
+            model_vars, emb, src_lens, max_mel_len,
+            speaker_args=speaker_args, lang_args=lang_ids,
+            p_control=p_control, e_control=e_control, d_control=d_control,
+        )

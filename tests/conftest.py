@@ -1,0 +1,23 @@
+"""Test config: force an 8-device virtual CPU mesh (SURVEY.md §4 implication:
+multi-device tests via xla_force_host_platform_device_count, no TPUs needed).
+"""
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402  (import after env setup)
+
+import pytest  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/fscl_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+@pytest.fixture(scope="session")
+def devices():
+    return jax.devices()
