@@ -1,0 +1,219 @@
+"""SSL speech upstream (HuBERT / wav2vec2 family) in flax.
+
+TPU-native replacement for the reference's frozen `S3PRLExtractor`
+(dlhlp_lib.s3prl, used at lightning/systems/language/TransEmbOrig.py:37,60):
+a wav2vec2-style conv feature extractor + transformer encoder that returns
+ALL hidden states stacked — (B, T', n_layers, dim) with n_layers = 25 for
+the large models (conv output + 24 layers), matching `Define.set_upstream`
+(Define.py:32-51). Weights are converted from HuggingFace `HubertModel` /
+`Wav2Vec2Model` checkpoints via `convert_torch_checkpoint`; random init is
+used in tests.
+
+Frame rate: 320x downsampling of 16 kHz input = 50 Hz (20 ms), which is the
+frame unit of `avg_frames` segmentation in the data layer.
+"""
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fscl_tpu.ops.attention import attend
+
+
+# conv feature extractor spec: (dim, kernel, stride) x7 — 320x total stride
+CONV_SPEC = ((512, 10, 5),) + ((512, 3, 2),) * 4 + ((512, 2, 2),) * 2
+
+
+def ssl_num_frames(n_samples: int) -> int:
+    n = n_samples
+    for _, k, s in CONV_SPEC:
+        n = (n - k) // s + 1
+    return n
+
+
+class ConvFeatureExtractor(nn.Module):
+    """7-layer strided conv stack; group-norm on the first layer, GELU."""
+    @nn.compact
+    def __call__(self, wav):                       # (B, T)
+        x = wav[..., None]                          # (B, T, 1)
+        for i, (dim, k, s) in enumerate(CONV_SPEC):
+            x = nn.Conv(dim, (k,), strides=(s,), padding="VALID",
+                        use_bias=False, name=f"conv_{i}")(x)
+            if i == 0:
+                x = nn.GroupNorm(num_groups=dim, name="group_norm")(x)
+            x = nn.gelu(x)
+        return x                                    # (B, T', 512)
+
+
+class PositionalConvEmbedding(nn.Module):
+    dim: int = 1024
+    kernel: int = 128
+    groups: int = 16
+
+    @nn.compact
+    def __call__(self, x):
+        h = nn.Conv(self.dim, (self.kernel,), padding=[(self.kernel // 2,) * 2],
+                    feature_group_count=self.groups, name="conv")(x)
+        if self.kernel % 2 == 0:
+            h = h[:, :-1]
+        return nn.gelu(h)
+
+
+class TransformerLayer(nn.Module):
+    dim: int = 1024
+    n_heads: int = 16
+    ffn_dim: int = 4096
+    layer_norm_first: bool = True    # True for *-large (HuBERT-large)
+
+    @nn.compact
+    def __call__(self, x, valid=None):
+        B, L, D = x.shape
+        dh = self.dim // self.n_heads
+
+        def mha(h):
+            q = nn.Dense(self.dim, name="q_proj")(h)
+            k = nn.Dense(self.dim, name="k_proj")(h)
+            v = nn.Dense(self.dim, name="v_proj")(h)
+            split = lambda t: t.reshape(B, L, self.n_heads, dh).transpose(0, 2, 1, 3)
+            o = attend(split(q), split(k), split(v), key_valid=valid,
+                       temperature=dh ** 0.5)
+            o = o.transpose(0, 2, 1, 3).reshape(B, L, self.dim)
+            return nn.Dense(self.dim, name="out_proj")(o)
+
+        def ffn(h):
+            h = nn.Dense(self.ffn_dim, name="fc1")(h)
+            h = nn.gelu(h)
+            return nn.Dense(self.dim, name="fc2")(h)
+
+        ln1 = nn.LayerNorm(name="self_attn_layer_norm")
+        ln2 = nn.LayerNorm(name="final_layer_norm")
+        if self.layer_norm_first:
+            x = x + mha(ln1(x))
+            x = x + ffn(ln2(x))
+        else:
+            x = ln1(x + mha(x))
+            x = ln2(x + ffn(x))
+        return x
+
+
+class SSLUpstream(nn.Module):
+    """HuBERT/wav2vec2 encoder returning all hidden states."""
+    dim: int = 1024
+    n_layers: int = 24
+    n_heads: int = 16
+    ffn_dim: int = 4096
+    layer_norm_first: bool = True
+
+    @nn.compact
+    def __call__(self, wav, wav_valid=None):
+        """wav: (B, T) 16 kHz float. Returns (hidden (B, T', n_layers+1, dim),
+        frame_valid (B, T'))."""
+        feats = ConvFeatureExtractor(name="feature_extractor")(wav)
+        Tp = feats.shape[1]
+        if wav_valid is not None:
+            n_valid = jnp.sum(wav_valid.astype(jnp.int32), axis=-1)
+            # conservative valid-frame count through the conv stack
+            frame_len = jnp.floor(
+                (n_valid.astype(jnp.float32) / 320.0)).astype(jnp.int32)
+            frame_len = jnp.clip(frame_len, 0, Tp)
+            frame_valid = jnp.arange(Tp)[None, :] < frame_len[:, None]
+        else:
+            frame_valid = jnp.ones(feats.shape[:2], bool)
+
+        x = nn.LayerNorm(name="feat_layer_norm")(feats)
+        x = nn.Dense(self.dim, name="post_extract_proj")(x)
+        x = jnp.where(frame_valid[..., None], x, 0.0)
+        x = x + PositionalConvEmbedding(self.dim, name="pos_conv")(x)
+        if not self.layer_norm_first:
+            x = nn.LayerNorm(name="encoder_layer_norm")(x)
+
+        hiddens = [x]
+        for i in range(self.n_layers):
+            x = TransformerLayer(
+                self.dim, self.n_heads, self.ffn_dim, self.layer_norm_first,
+                name=f"layer_{i}",
+            )(x, valid=frame_valid)
+            hiddens.append(x)
+        if self.layer_norm_first:
+            # final LN applies to the last layer's output in fairseq; s3prl
+            # collects pre-LN hiddens, so we keep hiddens as-is and expose
+            # the normalized final separately if needed.
+            pass
+        hidden = jnp.stack(hiddens, axis=2)   # (B, T', n_layers+1, dim)
+        return hidden, frame_valid
+
+
+def make_upstream(name: str = "hubert_large_ll60k") -> SSLUpstream:
+    if name in ("hubert", "wav2vec2"):      # base models: 768d, 12 layers
+        return SSLUpstream(dim=768, n_layers=12, n_heads=12, ffn_dim=3072,
+                           layer_norm_first=False)
+    return SSLUpstream()                     # large: 1024d, 24 layers
+
+
+def convert_torch_checkpoint(state_dict) -> dict:
+    """Convert a HuggingFace HubertModel/Wav2Vec2Model state_dict into this
+    module's param pytree. Offline environments skip this (random init)."""
+    import numpy as np
+
+    def t(x):
+        return np.asarray(x.detach().cpu().numpy() if hasattr(x, "detach") else x)
+
+    p = {}
+    fe = {}
+    for i in range(len(CONV_SPEC)):
+        conv_w = t(state_dict[f"feature_extractor.conv_layers.{i}.conv.weight"])
+        fe[f"conv_{i}"] = {"kernel": conv_w.transpose(2, 1, 0)}
+    if "feature_extractor.conv_layers.0.layer_norm.weight" in state_dict:
+        fe["group_norm"] = {
+            "scale": t(state_dict["feature_extractor.conv_layers.0.layer_norm.weight"]),
+            "bias": t(state_dict["feature_extractor.conv_layers.0.layer_norm.bias"]),
+        }
+    p["feature_extractor"] = fe
+    p["feat_layer_norm"] = {
+        "scale": t(state_dict["feature_projection.layer_norm.weight"]),
+        "bias": t(state_dict["feature_projection.layer_norm.bias"]),
+    }
+    p["post_extract_proj"] = {
+        "kernel": t(state_dict["feature_projection.projection.weight"]).T,
+        "bias": t(state_dict["feature_projection.projection.bias"]),
+    }
+    # pos conv (weight-norm parametrized in torch)
+    if "encoder.pos_conv_embed.conv.weight_g" in state_dict:
+        g = t(state_dict["encoder.pos_conv_embed.conv.weight_g"])
+        v = t(state_dict["encoder.pos_conv_embed.conv.weight_v"])
+        w = g * v / np.linalg.norm(v, axis=(0, 1), keepdims=True)
+    else:
+        w = t(state_dict["encoder.pos_conv_embed.conv.weight"])
+    p["pos_conv"] = {"conv": {
+        "kernel": w.transpose(2, 1, 0),
+        "bias": t(state_dict["encoder.pos_conv_embed.conv.bias"]),
+    }}
+    i = 0
+    while f"encoder.layers.{i}.attention.q_proj.weight" in state_dict:
+        lp = {}
+        for name_hf, name_fx in (
+            ("attention.q_proj", "q_proj"), ("attention.k_proj", "k_proj"),
+            ("attention.v_proj", "v_proj"), ("attention.out_proj", "out_proj"),
+            ("feed_forward.intermediate_dense", "fc1"),
+            ("feed_forward.output_dense", "fc2"),
+        ):
+            lp[name_fx] = {
+                "kernel": t(state_dict[f"encoder.layers.{i}.{name_hf}.weight"]).T,
+                "bias": t(state_dict[f"encoder.layers.{i}.{name_hf}.bias"]),
+            }
+        lp["self_attn_layer_norm"] = {
+            "scale": t(state_dict[f"encoder.layers.{i}.layer_norm.weight"]),
+            "bias": t(state_dict[f"encoder.layers.{i}.layer_norm.bias"]),
+        }
+        lp["final_layer_norm"] = {
+            "scale": t(state_dict[f"encoder.layers.{i}.final_layer_norm.weight"]),
+            "bias": t(state_dict[f"encoder.layers.{i}.final_layer_norm.bias"]),
+        }
+        p[f"layer_{i}"] = lp
+        i += 1
+    return {"params": p}

@@ -103,6 +103,33 @@ def pallas_attention(
     return out.reshape(B, H, L, Dh)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _pallas_attention_ad(q, k, v, key_valid, temperature):
+    """Differentiable wrapper: Pallas forward, XLA-recompute backward.
+
+    The backward pass re-runs the (cheap, short-sequence) XLA attention and
+    differentiates it — same math, so gradients match the XLA path exactly.
+    """
+    return pallas_attention(q, k, v, key_valid, temperature)
+
+
+def _pallas_attention_fwd(q, k, v, key_valid, temperature):
+    return pallas_attention(q, k, v, key_valid, temperature), (q, k, v, key_valid)
+
+
+def _pallas_attention_bwd(temperature, res, g):
+    q, k, v, key_valid = res
+    _, vjp = jax.vjp(
+        lambda q_, k_, v_: xla_attention(q_, k_, v_, key_valid, temperature),
+        q, k, v,
+    )
+    dq, dk, dv = vjp(g)
+    return dq, dk, dv, None
+
+
+_pallas_attention_ad.defvjp(_pallas_attention_fwd, _pallas_attention_bwd)
+
+
 def _tpu_ok(L: int, dh: int) -> bool:
     return (
         jax.default_backend() == "tpu"
@@ -130,5 +157,5 @@ def attend(
         and q.shape == k.shape
         and _tpu_ok(L, Dh)
     ):
-        return pallas_attention(q, k, v, key_valid, temperature)
+        return _pallas_attention_ad(q, k, v, key_valid, temperature)
     return xla_attention(q, k, v, key_valid, temperature, return_weights)
