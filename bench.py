@@ -1,0 +1,87 @@
+"""Headline benchmark: FastSpeech2 synthesis mel-frames/sec/chip on TPU.
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+Baseline = the reference's own FastSpeech2 running no-target synthesis on
+CPU PyTorch (benchmarks/measure_reference_cpu.py; same model size
+enc4/dec6 256d, same batch 8 x len 128).
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/tmp/fscl_tpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+
+    from fscl_tpu.core.config import ModelConfig, OptimConfig, SpeakerConfig
+    from fscl_tpu.data.batch import Batch
+    from fscl_tpu.systems.baseline import BaselineSystem
+
+    B, L, T = 8, 128, 1000
+    cfg = ModelConfig(speaker=SpeakerConfig(n_speakers=64), max_seq_len=1000)
+    n_sym = 361
+    system = BaselineSystem(cfg, OptimConfig(), (("en", n_sym),))
+
+    rng = np.random.default_rng(0)
+    texts = rng.integers(1, n_sym, (B, L)).astype(np.int32)
+    dur = rng.integers(1, 6, (B, L)).astype(np.int32)
+    src_lens = np.full((B,), L, np.int32)
+    mel_lens = np.minimum(dur.sum(1), T).astype(np.int32)
+    batch = Batch(
+        speaker_args=(np.arange(B) % 64).astype(np.int32),
+        texts=texts, src_lens=src_lens,
+        mels=rng.normal(size=(B, T, 80)).astype(np.float32),
+        mel_lens=mel_lens,
+        pitches=rng.normal(size=(B, L)).astype(np.float32),
+        energies=rng.normal(size=(B, L)).astype(np.float32),
+        durations=dur, lang_ids=np.zeros((B,), np.int32),
+    )
+    state = system.init_state(jax.random.PRNGKey(0), batch)
+    params, batch_stats = state.params, state.batch_stats
+
+    @jax.jit
+    def synth(texts, src_lens, speakers, langs):
+        out = system.synthesize(params, batch_stats, texts, src_lens, T,
+                                speakers, langs)
+        return out.postnet_mel, out.mel_len
+
+    args = (jnp.asarray(texts), jnp.asarray(src_lens),
+            jnp.asarray(batch.speaker_args), jnp.asarray(batch.lang_ids))
+    mel, mel_len = synth(*args)               # compile
+    jax.block_until_ready(mel)
+
+    iters = 50
+    frames = 0
+    t0 = time.time()
+    for _ in range(iters):
+        mel, mel_len = synth(*args)
+    jax.block_until_ready(mel)
+    dt = time.time() - t0
+    frames = int(np.asarray(mel_len).sum()) * iters
+    value = frames / dt
+
+    baseline_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "benchmarks", "baseline_cpu.json")
+    vs = None
+    if os.path.exists(baseline_path):
+        with open(baseline_path) as f:
+            vs = value / json.load(f)["value"]
+
+    print(json.dumps({
+        "metric": "fastspeech2_synthesis_mel_frames_per_sec_per_chip",
+        "value": round(value, 1),
+        "unit": "mel-frames/s",
+        "vs_baseline": round(vs, 2) if vs is not None else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,71 @@
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(
+        prog="fscl_tpu", description="TPU-native few-shot cross-lingual TTS")
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p = sub.add_parser("preprocess", help="corpus -> feature store")
+    p.add_argument("corpus_dir")
+    p.add_argument("output_dir")
+    p.add_argument("--parser", default="ljspeech",
+                   help="raw parser tag (see fscl_tpu.data.parsers)")
+    p.add_argument("--textgrid_dir", default=None,
+                   help="directory of MFA TextGrids (required for --preprocess)")
+    p.add_argument("--parse_raw", action="store_true")
+    p.add_argument("--preprocess", action="store_true")
+    p.add_argument("--create_dataset", action="store_true")
+    p.add_argument("--n_workers", type=int, default=4)
+    p.add_argument("--debug", action="store_true",
+                   help="limit to 128 utterances (reference --debug)")
+
+    t = sub.add_parser("train", help="train a system")
+    t.add_argument("--system", default="baseline",
+                   help="registry key (baseline, fscl, tacot2u, pr-ssl-*, ...)")
+    t.add_argument("--data_config", action="append", required=True)
+    t.add_argument("--model_config", default=None)
+    t.add_argument("--exp_dir", default="output/exp")
+    t.add_argument("--total_step", type=int, default=None)
+    t.add_argument("--pretrain_ckpt", default=None)
+    t.add_argument("--resume", action="store_true")
+    t.add_argument("--n_devices", type=int, default=None)
+
+    s = sub.add_parser("synth", help="synthesize from text")
+    s.add_argument("--ckpt_dir", required=True)
+    s.add_argument("--data_config", required=True)
+    s.add_argument("--text", required=True,
+                   help="text or {PHONEME ...} string")
+    s.add_argument("--speaker", type=int, default=0)
+    s.add_argument("--output", default="output.wav")
+    s.add_argument("--vocoder_ckpt", default=None)
+
+    e = sub.add_parser("evaluate", help="PER/FER over task output dirs")
+    e.add_argument("dir")
+    e.add_argument("--metric", choices=["per", "fer", "both"], default="both")
+
+    c = sub.add_parser("clean", help="data validation / filtering")
+    c.add_argument("data_dir")
+    c.add_argument("--output", default=None)
+
+    args = parser.parse_args(argv)
+    if args.command == "preprocess":
+        from fscl_tpu.cli.preprocess_cmd import run
+    elif args.command == "train":
+        from fscl_tpu.cli.train_cmd import run
+    elif args.command == "synth":
+        from fscl_tpu.cli.synth_cmd import run
+    elif args.command == "evaluate":
+        from fscl_tpu.cli.evaluate_cmd import run
+    elif args.command == "clean":
+        from fscl_tpu.cli.clean_cmd import run
+    else:
+        parser.error(f"unknown command {args.command}")
+    return run(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main() or 0)

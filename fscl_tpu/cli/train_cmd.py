@@ -1,0 +1,104 @@
+"""`fscl_tpu train` — train any registered system (main.py:43-208)."""
+from __future__ import annotations
+
+import os
+
+
+def run(args):
+    import jax
+    import numpy as np
+
+    from fscl_tpu.core.checkpoint import CheckpointManager
+    from fscl_tpu.core.config import (
+        ModelConfig, TrainConfig, model_config_from_yaml, read_data_config,
+    )
+    from fscl_tpu.data.batch import collate_batch
+    from fscl_tpu.data.datasets import (
+        ConcatDataset, FSCLDataset, FastSpeech2Dataset,
+    )
+    from fscl_tpu.data.feature_store import FeatureStore
+    from fscl_tpu.frontend import LANG_ID2SYMBOLS
+    from fscl_tpu.obs import (
+        CheckpointCallback, LossTableLogger, TensorBoardLogger,
+    )
+    from fscl_tpu.parallel.mesh import make_mesh
+    from fscl_tpu.train.trainer import Trainer
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/fscl_tpu_jax_cache")
+
+    data_configs = [read_data_config(p) for p in args.data_config]
+    model_cfg = (model_config_from_yaml(args.model_config)
+                 if args.model_config else ModelConfig())
+    train_cfg = TrainConfig()
+    if args.total_step:
+        train_cfg = TrainConfig(total_step=args.total_step)
+
+    id2symbols = tuple(
+        (dc.symbol_id, len(LANG_ID2SYMBOLS[dc.symbol_id]))
+        for dc in data_configs)
+
+    # datasets
+    stores = {dc.name: FeatureStore(dc.data_dir) for dc in data_configs}
+    need_ssl = args.system.startswith("fscl")
+    ds_cls = FSCLDataset if need_ssl else FastSpeech2Dataset
+    datasets = []
+    for dc in data_configs:
+        train_txt = dc.subset_path("train")
+        assert train_txt, f"data config {dc.name} has no train subset"
+        datasets.append(ds_cls(train_txt, stores[dc.name], dc, model_cfg))
+    dataset = ConcatDataset(datasets)
+
+    # system
+    from fscl_tpu.systems import get_system
+    sys_cls = get_system(args.system)
+    if args.system in ("baseline", "baseline-tune"):
+        system = sys_cls(model_cfg, train_cfg.optim, id2symbols)
+        def batches():
+            rng = np.random.default_rng(train_cfg.seed)
+            bs = train_cfg.optim.batch_size
+            while True:
+                idxs = rng.integers(0, len(dataset), bs)
+                _, batch = collate_batch([dataset[int(i)] for i in idxs])
+                yield batch
+        example = next(batches())
+    elif args.system in ("fscl", "fscl-orig"):
+        from fscl_tpu.data.episodic import EpisodicSampler, InfiniteEpisodes
+        n_symbols = sum(n for _, n in id2symbols)
+        system = sys_cls(model_cfg, train_cfg.optim, n_symbols)
+        labels = []
+        for d in datasets:
+            labels.extend([d.config.lang_id] * len(d))
+        adapt = None
+        sampler = EpisodicSampler(labels, shots=32, queries=8,
+                                  seed=train_cfg.seed)
+        stream = InfiniteEpisodes(dataset, sampler, 32, 8)
+        batches = lambda: iter(stream)
+        example = next(iter(stream))
+    else:
+        raise SystemExit(f"train_cmd does not wire system '{args.system}' yet")
+
+    state = system.init_state(jax.random.PRNGKey(train_cfg.seed), example)
+
+    ckpt_dir = os.path.join(args.exp_dir, "ckpt")
+    strip = ("upstream",) if need_ssl else ()
+    mgr = CheckpointManager(ckpt_dir, strip_prefixes=strip, max_to_keep=5)
+    if args.pretrain_ckpt:
+        pre = CheckpointManager(args.pretrain_ckpt)
+        state = pre.restore_into(state)
+    if args.resume and mgr.all_steps():
+        state = mgr.restore_into(state)
+
+    mesh = None
+    if args.n_devices and args.n_devices > 1:
+        mesh = make_mesh(n_data=args.n_devices)
+
+    trainer = Trainer(
+        system, train_cfg, mesh=mesh,
+        callbacks=[
+            LossTableLogger(os.path.join(args.exp_dir, "log")),
+            TensorBoardLogger(os.path.join(args.exp_dir, "tb")),
+            CheckpointCallback(mgr),
+        ])
+    state = trainer.fit(state, batches())
+    mgr.save(int(state.step), state)
+    print(f"[train] done at step {int(state.step)}; ckpts in {ckpt_dir}")

@@ -12,6 +12,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import List, NamedTuple, Optional, Sequence, Tuple
 
+import flax
 import numpy as np
 
 
@@ -34,14 +35,16 @@ class BatchMeta:
     symbol_id: Optional[str] = None
 
 
-class SupInfo(NamedTuple):
+@flax.struct.dataclass
+class SupInfo:
     """Raw SSL inputs for the support set of an FSCL episode
-    (FSCLCollate sup_info: wavs + avg_frames + phonemes)."""
+    (FSCLCollate sup_info: wavs + avg_frames + phonemes).
+    `n_symbols` is static metadata (compile-time constant under jit)."""
     wavs: np.ndarray            # (B, T_wav) float32 16 kHz
     wav_lens: np.ndarray        # (B,) int32
     avg_frames: np.ndarray      # (B, L) int32 frames per phoneme
     phonemes: np.ndarray        # (B, L) int32 phoneme ids
-    n_symbols: int
+    n_symbols: int = flax.struct.field(pytree_node=False, default=0)
 
 
 def bucket_len(n: int, buckets: Sequence[int]) -> int:

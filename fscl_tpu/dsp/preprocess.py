@@ -1,0 +1,202 @@
+"""Shared preprocessing pipeline (Parsers/template.py:20-129 equivalent).
+
+Stages per utterance:
+  1. prepare_initial_features: load wav at 22.05 k + 16 k, peak-normalize,
+     store text (template.py:20-27).
+  2. preprocess: TextGrid -> segments + phonemes; trim wavs to the voiced
+     span; wav -> log-mel/energy (XLA, batched on device) + pitch (YIN/C++)
+     + interpolated pitch; segments -> durations; duration-averaged
+     pitch/energy; speaker-reference mel slices for the d-vector path;
+     corpus stats.json (template.py:30-100).
+  3. split datasets -> train/val/test txt files (template.py:103-129).
+
+The mel/energy path runs through fscl_tpu.ops.stft (jit, device-batched) —
+the fused-XLA replacement for the reference's per-utterance librosa calls.
+"""
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from fscl_tpu.core.config import AudioConfig
+from fscl_tpu.data.feature_store import FeatureStore, write_queries_to_txt
+from fscl_tpu.dsp.audio_io import load_wav, wav_normalization
+from fscl_tpu.dsp.pitch import extract_pitch, interpolate_f0
+from fscl_tpu.dsp.textgrid import textgrid_to_segments_and_phonemes
+
+# d-vector slicing constants (resemblyzer contract: 16 kHz, 40-mel,
+# 10 ms hop, ~1.6 s partials with 50% overlap)
+DVEC_SR = 16000
+DVEC_MEL = 40
+DVEC_HOP = 160
+DVEC_WIN = 400
+PARTIAL_FRAMES = 160
+PARTIAL_HOP = 80
+
+
+def prepare_initial_features(store: FeatureStore, query, wav_path: str,
+                             text: str, audio: AudioConfig = AudioConfig()):
+    wav22 = wav_normalization(load_wav(wav_path, audio.sampling_rate))
+    wav16 = wav_normalization(load_wav(wav_path, audio.ssl_sampling_rate))
+    store.wav_22050.save(wav22, query)
+    store.wav_16000.save(wav16, query)
+    store.text.save(text, query)
+
+
+def mel_energy_from_wav(wav: np.ndarray, audio: AudioConfig):
+    """Device-jitted log-mel + energy (ops.stft)."""
+    import jax
+    import jax.numpy as jnp
+
+    from fscl_tpu.ops.stft import mel_spectrogram
+
+    mel, energy = jax.jit(
+        lambda w: mel_spectrogram(
+            w, sr=audio.sampling_rate, n_fft=audio.n_fft,
+            hop_length=audio.hop_length, win_length=audio.win_length,
+            n_mels=audio.n_mels, fmin=audio.mel_fmin, fmax=audio.mel_fmax),
+    )(jnp.asarray(wav))
+    return np.asarray(mel), np.asarray(energy)
+
+
+def dvec_mel_slices(wav16: np.ndarray) -> np.ndarray:
+    """Speaker-reference 40-mel slices (spk_ref_mel_slices feature):
+    resemblyzer-style partial utterances for GE2E averaging."""
+    from fscl_tpu.ops.stft import mel_filterbank, stft_magnitude
+    import jax.numpy as jnp
+
+    mag = np.asarray(stft_magnitude(
+        jnp.asarray(wav16), n_fft=DVEC_WIN, hop_length=DVEC_HOP,
+        win_length=DVEC_WIN))
+    fb = mel_filterbank(DVEC_SR, DVEC_WIN, DVEC_MEL, 0.0, DVEC_SR / 2)
+    mel = np.log(np.maximum(mag @ fb.T, 1e-10))
+    n = mel.shape[0]
+    if n < PARTIAL_FRAMES:
+        mel = np.pad(mel, ((0, PARTIAL_FRAMES - n), (0, 0)))
+        n = PARTIAL_FRAMES
+    starts = list(range(0, n - PARTIAL_FRAMES + 1, PARTIAL_HOP)) or [0]
+    return np.stack([mel[s: s + PARTIAL_FRAMES] for s in starts]).astype(np.float32)
+
+
+def preprocess_utterance(
+    store: FeatureStore, query, textgrid_path: str,
+    audio: AudioConfig = AudioConfig(),
+) -> Optional[Dict[str, float]]:
+    """Full per-utterance stage-2: returns pitch/energy samples for stats,
+    or None if the utterance fails sanity checks."""
+    segments, phonemes = textgrid_to_segments_and_phonemes(textgrid_path)
+    if not segments:
+        return None
+    t0, t1 = segments[0][0], segments[-1][1]
+
+    wav22 = store.wav_22050.read_from_query(query)
+    wav16 = store.wav_16000.read_from_query(query)
+    trim22 = wav22[int(t0 * audio.sampling_rate): int(t1 * audio.sampling_rate)]
+    trim16 = wav16[int(t0 * audio.ssl_sampling_rate): int(t1 * audio.ssl_sampling_rate)]
+    if len(trim22) < audio.n_fft:
+        return None
+
+    # re-zero segments to the trimmed origin
+    segments = [(s - t0, e - t0) for s, e in segments]
+
+    mel, energy = mel_energy_from_wav(trim22, audio)
+    pitch = extract_pitch(trim22, audio.sampling_rate, audio.hop_length)
+    n = min(len(mel), len(pitch), len(energy))
+    mel, pitch, energy = mel[:n], pitch[:n], energy[:n]
+    interp_pitch, _ = interpolate_f0(pitch)
+
+    fp = audio.hop_length / audio.sampling_rate
+    durations = []
+    pos = 0.0
+    for s, e in segments:
+        d = int(round(e / fp)) - int(round(pos / fp))
+        durations.append(max(d, 0))
+        pos = e
+    total = sum(durations)
+    if total > n:
+        # clamp the last segments into the available frames
+        overflow = total - n
+        for i in range(len(durations) - 1, -1, -1):
+            take = min(durations[i], overflow)
+            durations[i] -= take
+            overflow -= take
+            if overflow == 0:
+                break
+        total = sum(durations)
+
+    # duration-averaged pitch/energy (phoneme level)
+    avg_pitch, avg_energy = [], []
+    pos = 0
+    for d in durations:
+        if d > 0:
+            seg_pitch = interp_pitch[pos: pos + d]
+            avg_pitch.append(float(np.mean(seg_pitch)))
+            avg_energy.append(float(np.mean(energy[pos: pos + d])))
+        else:
+            avg_pitch.append(0.0)
+            avg_energy.append(0.0)
+        pos += d
+
+    store.wav_trim_22050.save(trim22, query)
+    store.wav_trim_16000.save(trim16, query)
+    store.mel.save(mel.astype(np.float32), query)
+    store.pitch.save(pitch.astype(np.float32), query)
+    store.interpolate_pitch.save(interp_pitch.astype(np.float32), query)
+    store.energy.save(energy.astype(np.float32), query)
+    store.mfa_duration.save(np.asarray(durations, np.int64), query)
+    store.mfa_duration_avg_pitch.save(np.asarray(avg_pitch, np.float32), query)
+    store.mfa_duration_avg_energy.save(np.asarray(avg_energy, np.float32), query)
+    store.mfa_segment.save([[float(s), float(e)] for s, e in segments], query)
+    store.phoneme.save(" ".join(phonemes), query)
+    store.spk_ref_mel_slices.save(dvec_mel_slices(trim16), query)
+
+    voiced = pitch[pitch > 0]
+    return {
+        "pitch": voiced.tolist(),
+        "energy": energy.tolist(),
+    }
+
+
+def compute_stats(samples: List[Dict[str, list]], store: FeatureStore) -> dict:
+    """Corpus stats.json: pitch/energy min/max/mean/std over all frames
+    (voiced-only pitch), like get_stats in template.preprocess."""
+    pitch = np.concatenate([np.asarray(s["pitch"]) for s in samples if s["pitch"]])
+    energy = np.concatenate([np.asarray(s["energy"]) for s in samples])
+    stats = {
+        "pitch": [float(pitch.min()), float(pitch.max()),
+                  float(pitch.mean()), float(pitch.std())],
+        "energy": [float(energy.min()), float(energy.max()),
+                   float(energy.mean()), float(energy.std())],
+    }
+    with open(store.stats_path, "w") as f:
+        json.dump(stats, f, indent=4)
+    return stats
+
+
+def split_monospeaker_dataset(store: FeatureStore, queries, output_dir: str,
+                              val_size: int = 400, test_size: int = 400):
+    """(template.py:103-115): deterministic tail split."""
+    train = queries[: -(val_size + test_size)] if len(queries) > val_size + test_size else queries
+    val = queries[-(val_size + test_size): -test_size] if len(queries) > val_size + test_size else queries
+    test = queries[-test_size:] if len(queries) > test_size else queries
+    write_queries_to_txt(store, train, os.path.join(output_dir, "train.txt"))
+    write_queries_to_txt(store, val, os.path.join(output_dir, "val.txt"))
+    write_queries_to_txt(store, test, os.path.join(output_dir, "test.txt"))
+
+
+def split_multispeaker_dataset(store: FeatureStore, queries, output_dir: str,
+                               val_spk_frac: float = 0.05):
+    """(template.py:118-129): hold out whole speakers for val/test."""
+    spks = sorted({q["spk"] for q in queries})
+    n_hold = max(1, int(len(spks) * val_spk_frac))
+    val_spks = set(spks[-2 * n_hold: -n_hold])
+    test_spks = set(spks[-n_hold:])
+    train = [q for q in queries if q["spk"] not in val_spks | test_spks]
+    val = [q for q in queries if q["spk"] in val_spks]
+    test = [q for q in queries if q["spk"] in test_spks]
+    write_queries_to_txt(store, train, os.path.join(output_dir, "train.txt"))
+    write_queries_to_txt(store, val, os.path.join(output_dir, "val.txt"))
+    write_queries_to_txt(store, test, os.path.join(output_dir, "test.txt"))

@@ -93,10 +93,12 @@ class TacoT2USystem(System):
         if batch_stats is not None:
             model_vars["batch_stats"] = batch_stats["model"]
             mutable = ["batch_stats"] if train else []
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        r_scan, r_drop = jax.random.split(rng)
         out = self.model.apply(
-            model_vars, emb, batch.src_lens, batch.units,
-            rng if rng is not None else jax.random.PRNGKey(0),
+            model_vars, emb, batch.src_lens, batch.units, r_scan,
             teacher_forcing_ratio=tf_ratio, deterministic=not train,
+            rngs={"dropout": r_drop} if train else None,
             mutable=mutable)
         new_bs = None
         if mutable:
@@ -189,11 +191,14 @@ class TransEmbT2USystem(System):
         if batch_stats is not None:
             model_vars["batch_stats"] = batch_stats["model"]
             mutable = ["batch_stats"] if train else []
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        r_scan, r_drop = jax.random.split(rng)
         out = self.model.apply(
-            model_vars, emb_texts, qry.src_lens, qry.units,
-            rng if rng is not None else jax.random.PRNGKey(0),
+            model_vars, emb_texts, qry.src_lens, qry.units, r_scan,
             teacher_forcing_ratio=schedule_f(step),
-            deterministic=not train, mutable=mutable)
+            deterministic=not train,
+            rngs={"dropout": r_drop} if train else None,
+            mutable=mutable)
         new_bs = None
         if mutable:
             (logits, aligns), updates = out

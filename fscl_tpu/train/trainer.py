@@ -1,0 +1,125 @@
+"""pjit training: data-parallel step over the device mesh + host loop.
+
+TPU-native replacement for Lightning's Trainer/DDP (main.py:34-110): the
+batch is sharded over the mesh's `data` axis, params/opt-state are
+replicated, and XLA inserts the gradient all-reduce. The host loop keeps the
+reference's step-based cadence semantics (log/val/synth/save every N steps,
+train_config in core.config.TrainConfig).
+"""
+from __future__ import annotations
+
+import time
+from typing import Any, Callable, Dict, Iterable, Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from fscl_tpu.core.config import TrainConfig
+from fscl_tpu.parallel.mesh import DATA_AXIS, batch_sharding, replicated
+from fscl_tpu.systems.base import System, TrainState
+
+
+def make_parallel_train_step(system: System, mesh: Mesh) -> Callable:
+    """Jit the system's train_step with batch sharded over `data` and state
+    replicated. Works for any batch pytree whose leaves lead with the batch
+    dim."""
+    rep = replicated(mesh)
+    bsh = batch_sharding(mesh)
+
+    def step(state, batch, rng):
+        return system.train_step(state, batch, rng)
+
+    return jax.jit(
+        step,
+        in_shardings=(rep, bsh, rep),
+        out_shardings=(rep, rep),
+        donate_argnums=(0,),
+    )
+
+
+def make_parallel_eval_step(system: System, mesh: Mesh) -> Callable:
+    rep = replicated(mesh)
+    bsh = batch_sharding(mesh)
+    return jax.jit(
+        lambda state, batch, rng: system.eval_step(state, batch, rng),
+        in_shardings=(rep, bsh, rep),
+        out_shardings=rep,
+    )
+
+
+def place_batch(batch, mesh: Mesh):
+    sh = batch_sharding(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(np.asarray(x), sh), batch)
+
+
+class Trainer:
+    """Step-based host loop (log/val/save cadence from TrainConfig)."""
+
+    def __init__(
+        self,
+        system: System,
+        train_cfg: TrainConfig,
+        mesh: Optional[Mesh] = None,
+        callbacks: Iterable = (),
+    ):
+        self.system = system
+        self.cfg = train_cfg
+        self.mesh = mesh
+        self.callbacks = list(callbacks)
+        self._train_step = None
+        self._eval_step = None
+
+    def fit(
+        self,
+        state: TrainState,
+        train_iter: Iterable,
+        val_loader: Optional[Callable[[], Iterable]] = None,
+        rng: Optional[jax.Array] = None,
+        max_steps: Optional[int] = None,
+    ) -> TrainState:
+        rng = rng if rng is not None else jax.random.PRNGKey(self.cfg.seed)
+        max_steps = max_steps or self.cfg.total_step
+        if self.mesh is not None:
+            train_step = make_parallel_train_step(self.system, self.mesh)
+            eval_step = (make_parallel_eval_step(self.system, self.mesh)
+                         if val_loader else None)
+        else:
+            train_step = jax.jit(self.system.train_step, donate_argnums=(0,))
+            eval_step = jax.jit(self.system.eval_step) if val_loader else None
+
+        step = int(state.step)
+        t_log = time.time()
+        for batch in train_iter:
+            if step >= max_steps:
+                break
+            rng, sub = jax.random.split(rng)
+            if self.mesh is not None:
+                batch = place_batch(batch, self.mesh)
+            state, metrics = train_step(state, batch, sub)
+            step += 1
+
+            if step % self.cfg.log_step == 0:
+                metrics = {k: float(v) for k, v in metrics.items()}
+                dt = time.time() - t_log
+                t_log = time.time()
+                for cb in self.callbacks:
+                    cb.on_log(step, metrics, steps_per_sec=self.cfg.log_step / dt)
+
+            if val_loader is not None and step % self.cfg.val_step == 0:
+                agg: Dict[str, list] = {}
+                for vb in val_loader():
+                    rng, sub = jax.random.split(rng)
+                    if self.mesh is not None:
+                        vb = place_batch(vb, self.mesh)
+                    m = eval_step(state, vb, sub)
+                    for k, v in m.items():
+                        agg.setdefault(k, []).append(float(v))
+                val_metrics = {k: float(np.mean(v)) for k, v in agg.items()}
+                for cb in self.callbacks:
+                    cb.on_validation(step, val_metrics)
+
+            if step % self.cfg.save_step == 0:
+                for cb in self.callbacks:
+                    cb.on_save(step, state)
+        return state

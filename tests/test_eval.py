@@ -1,0 +1,55 @@
+"""Eval metric tests: WER/PER, FER, MCD, DPDP decoding."""
+import numpy as np
+
+from fscl_tpu.eval.dpdp import dpdp_decode, merge_repeats
+from fscl_tpu.eval.metrics import (
+    frame_error_rate, levenshtein, mel_cepstral_distortion, wer,
+)
+
+
+def test_levenshtein_and_wer():
+    assert levenshtein("abc", "abc") == 0
+    assert levenshtein("abc", "axc") == 1
+    assert wer("a b c", "a b c") == 0.0
+    assert wer("a b c", "a x c") == 1 / 3
+    assert wer("a b c d", "a b") == 0.5
+
+
+def test_fer_identical_zero():
+    seg = [(0.0, 0.1), (0.1, 0.3)]
+    assert frame_error_rate("A B", "A B", seg, seg) == 0.0
+
+
+def test_fer_mismatch():
+    seg = [(0.0, 0.2), (0.2, 0.4)]
+    # pred: first phoneme covers everything
+    err = frame_error_rate("A B", "A A", seg, seg)
+    assert abs(err - 0.5) < 1e-6
+
+
+def test_mcd_zero_and_positive():
+    rng = np.random.default_rng(0)
+    a = rng.normal(size=(50, 80))
+    assert mel_cepstral_distortion(a, a) == 0.0
+    assert mel_cepstral_distortion(a, a + 0.1) > 0
+
+
+def test_dpdp_decode_recovers_segments():
+    # 3 clear segments of classes 0,1,2
+    T, C = 30, 3
+    logp = np.full((T, C), -10.0)
+    logp[:10, 0] = -0.1
+    logp[10:20, 1] = -0.1
+    logp[20:, 2] = -0.1
+    segments, labels = dpdp_decode(logp, lam=0.5, max_segment_len=15)
+    merged_s, merged_l = merge_repeats(segments, labels)
+    assert merged_l == [0, 1, 2]
+    assert merged_s[0] == (0, 10) and merged_s[1] == (10, 20)
+
+
+def test_dpdp_lambda_coarsens():
+    rng = np.random.default_rng(0)
+    logp = np.log(np.clip(rng.dirichlet(np.ones(5), size=40), 1e-8, 1))
+    s_fine, _ = dpdp_decode(logp, lam=0.0, max_segment_len=40)
+    s_coarse, _ = dpdp_decode(logp, lam=5.0, max_segment_len=40)
+    assert len(s_coarse) <= len(s_fine)
