@@ -1,0 +1,221 @@
+"""Datamodules: algorithm type -> train/val iterator factories.
+
+Re-provides lightning/datamodules/ (§2.4): each datamodule owns its
+datasets, samplers and collates and exposes `setup()`, `train_batches()`
+(infinite iterator) and `val_batches()` (fixed list, deterministic replay
+for episodic modules). Registered in DATAMODULES keyed by the same
+algorithm types as the systems (lightning/datamodules/__init__.py:6-50).
+"""
+from __future__ import annotations
+
+import os
+from typing import Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from fscl_tpu.core.config import DataConfig, ModelConfig, TrainConfig
+from fscl_tpu.core.registry import DATAMODULES
+from fscl_tpu.data.batch import Batch, collate_batch
+from fscl_tpu.data.datasets import (
+    ConcatDataset, FSCLDataset, FastSpeech2Dataset, PRDataset, TextDataset,
+    UnitDataset,
+)
+from fscl_tpu.data.episodic import (
+    EpisodicSampler, collate_episode, collate_sup_info, get_or_create_tasks,
+)
+from fscl_tpu.data.feature_store import FeatureStore
+
+
+class BaseDataModule:
+    def __init__(self, data_configs: Sequence[DataConfig],
+                 model_cfg: ModelConfig, train_cfg: TrainConfig,
+                 exp_dir: str = "output/exp"):
+        self.data_configs = list(data_configs)
+        self.model_cfg = model_cfg
+        self.train_cfg = train_cfg
+        self.exp_dir = exp_dir
+        self.stores = {dc.name: FeatureStore(dc.data_dir)
+                       for dc in self.data_configs}
+
+    def _datasets(self, split: str, cls, **kw):
+        out = []
+        for dc in self.data_configs:
+            path = dc.subset_path(split)
+            if path and os.path.isfile(path):
+                out.append(cls(path, self.stores[dc.name], dc,
+                               self.model_cfg, **kw))
+        return out
+
+
+@DATAMODULES.register("baseline", "baseline-tune")
+class FastSpeech2DataModule(BaseDataModule):
+    """Plain multilingual supervised loader
+    (FastSpeech2DataModule.py:12-136)."""
+
+    def setup(self):
+        self.train_set = ConcatDataset(self._datasets("train", FastSpeech2Dataset))
+        val = self._datasets("val", FastSpeech2Dataset)
+        self.val_set = ConcatDataset(val) if val else None
+
+    def train_batches(self) -> Iterator[Batch]:
+        rng = np.random.default_rng(self.train_cfg.seed)
+        bs = self.train_cfg.optim.batch_size
+        n = len(self.train_set)
+        while True:
+            idxs = rng.integers(0, n, bs)
+            _, batch = collate_batch([self.train_set[int(i)] for i in idxs])
+            yield batch
+
+    def val_batches(self) -> List[Batch]:
+        if self.val_set is None:
+            return []
+        bs = self.train_cfg.optim.batch_size
+        out = []
+        for start in range(0, min(len(self.val_set), 8 * bs), bs):
+            samples = [self.val_set[i]
+                       for i in range(start, min(start + bs, len(self.val_set)))]
+            if samples:
+                out.append(collate_batch(samples)[1])
+        return out
+
+
+@DATAMODULES.register("fscl", "fscl-orig", "fscl-orig2", "maml",
+                      "semi-fscl", "fscl-ada", "fscl-tune-src")
+class FSCLDataModule(BaseDataModule):
+    """Meta-episodic loader (FSCLDataModule.py:13-364): labels = language;
+    train = infinite episode sampling; val = fixed tasks with deterministic
+    replay (prefetch under the global seed, descriptions persisted)."""
+
+    def __init__(self, *args, shots: int = 32, queries: int = 8,
+                 n_tasks_per_label: int = 8, with_sup_batch: bool = False,
+                 **kwargs):
+        super().__init__(*args, **kwargs)
+        self.shots = shots
+        self.queries = queries
+        self.n_tasks_per_label = n_tasks_per_label
+        self.with_sup_batch = with_sup_batch
+
+    def setup(self):
+        datasets = self._datasets(
+            "train", FSCLDataset, upstream=self.model_cfg.upstream.name)
+        self.train_set = ConcatDataset(datasets)
+        labels = []
+        for d in datasets:
+            labels.extend([d.config.lang_id] * len(d))
+        self.sampler = EpisodicSampler(
+            labels, self.shots, self.queries, seed=self.train_cfg.seed)
+        val_datasets = self._datasets(
+            "val", FSCLDataset, upstream=self.model_cfg.upstream.name)
+        self.val_set = ConcatDataset(val_datasets) if val_datasets else None
+        if self.val_set is not None:
+            val_labels = []
+            for d in val_datasets:
+                val_labels.extend([d.config.lang_id] * len(d))
+            self.val_sampler = EpisodicSampler(
+                val_labels, self.shots, self.queries,
+                seed=self.train_cfg.seed)
+
+    def train_batches(self):
+        for idxs in self.sampler.infinite():
+            samples = [self.train_set[i] for i in idxs]
+            yield collate_episode(samples, self.shots, self.queries,
+                                  with_sup_batch=self.with_sup_batch)
+
+    def val_batches(self):
+        if self.val_set is None:
+            return []
+        path = os.path.join(self.exp_dir, "val_descriptions.json")
+        tasks = get_or_create_tasks(self.val_sampler,
+                                    self.n_tasks_per_label, path)
+        out = []
+        for idxs in tasks:
+            samples = [self.val_set[i] for i in idxs]
+            out.append(collate_episode(samples, self.shots, self.queries,
+                                       with_sup_batch=self.with_sup_batch))
+        return out
+
+
+@DATAMODULES.register("tacot2u", "fscl-t2u", "fscl-t2u-orig")
+class T2UDataModule(BaseDataModule):
+    """Text->unit loader (t2u/T2UDataModule.py:13-126)."""
+
+    def setup(self):
+        datasets = []
+        for dc in self.data_configs:
+            path = dc.subset_path("train")
+            if path and os.path.isfile(path):
+                datasets.append(UnitDataset(path, self.stores[dc.name], dc))
+        self.train_set = ConcatDataset(datasets)
+
+    def train_batches(self):
+        from fscl_tpu.data.batch import TEXT_BUCKETS, bucket_len, pad_1d
+        from fscl_tpu.systems.t2u import T2UBatch
+        rng = np.random.default_rng(self.train_cfg.seed)
+        bs = self.train_cfg.optim.batch_size
+        n = len(self.train_set)
+        while True:
+            samples = [self.train_set[int(i)]
+                       for i in rng.integers(0, n, bs)]
+            L = bucket_len(max(len(s["phonemes"]) for s in samples),
+                           TEXT_BUCKETS)
+            TU = bucket_len(max(len(s["units"]) for s in samples),
+                            TEXT_BUCKETS)
+            yield T2UBatch(
+                speaker_args=np.array([s["speaker"] for s in samples],
+                                      np.int32),
+                texts=pad_1d([s["phonemes"] for s in samples], L,
+                             dtype=np.int32),
+                src_lens=np.array(
+                    [min(len(s["phonemes"]), L) for s in samples], np.int32),
+                units=pad_1d([s["units"] for s in samples], TU,
+                             dtype=np.int32),
+                unit_lens=np.array(
+                    [min(len(s["units"]), TU) for s in samples], np.int32),
+                lang_ids=np.array([s["lang_id"] for s in samples], np.int32),
+            )
+
+
+@DATAMODULES.register("pr-ssl-linear", "pr-ssl-baseline", "pr-ssl-cluster")
+class PRDataModule(BaseDataModule):
+    """SSL PR loader with same-dataset batches (MultiTaskSampler semantics:
+    every batch comes from ONE dataset so the per-language head is
+    consistent)."""
+
+    def setup(self):
+        self.datasets = []
+        for dc in self.data_configs:
+            path = dc.subset_path("train")
+            if path and os.path.isfile(path):
+                self.datasets.append(
+                    (dc, PRDataset(path, self.stores[dc.name], dc)))
+
+    def train_batches(self):
+        from fscl_tpu.data.batch import TEXT_BUCKETS, bucket_len, pad_1d
+        from fscl_tpu.data.episodic import WAV_BUCKETS
+        from fscl_tpu.frontend import n_symbols as n_sym_of
+        from fscl_tpu.systems.pr import PRBatch
+        rng = np.random.default_rng(self.train_cfg.seed)
+        bs = self.train_cfg.optim.batch_size
+        while True:
+            dc, ds = self.datasets[int(rng.integers(0, len(self.datasets)))]
+            samples = [ds[int(i)] for i in rng.integers(0, len(ds), bs)]
+            L = bucket_len(max(len(s["phonemes"]) for s in samples),
+                           TEXT_BUCKETS)
+            W = bucket_len(max(len(s["wav"]) for s in samples), WAV_BUCKETS)
+            yield PRBatch(
+                wavs=pad_1d([s["wav"] for s in samples], W, dtype=np.float32),
+                wav_lens=np.array(
+                    [min(len(s["wav"]), W) for s in samples], np.int32),
+                avg_frames=pad_1d([s["avg_frames"] for s in samples], L,
+                                  dtype=np.int32),
+                phonemes=pad_1d([s["phonemes"] for s in samples], L,
+                                dtype=np.int32),
+                lang_ids=np.array([s["lang_id"] for s in samples], np.int32),
+                n_symbols=n_sym_of(dc.symbol_id),
+                symbol_id=dc.symbol_id,
+            )
+
+
+def get_datamodule(algorithm_type: str):
+    """(lightning/datamodules/__init__.py:49-50)."""
+    return DATAMODULES.get(algorithm_type)

@@ -140,13 +140,17 @@ def collate_sup_info(samples: List[dict], bucket: bool = True) -> SupInfo:
 
 
 def collate_episode(samples: List[dict], shots: int, queries: int,
-                    bucket: bool = True) -> Episode:
+                    bucket: bool = True, with_sup_batch: bool = False) -> Episode:
     """Episode collate (FSCLCollate._collate_fn): coverage split, then
-    (sup_info, qry TTS batch)."""
+    (sup_info, qry TTS batch[, sup TTS batch for MAML inner loops])."""
     sup_ids, qry_ids = split_sup_qry(samples, shots, queries)
     sup = collate_sup_info([samples[i] for i in sup_ids], bucket)
     _, qry = collate_batch([samples[i] for i in qry_ids], bucket=bucket)
-    return Episode(sup=sup, qry=qry)
+    sup_batch = None
+    if with_sup_batch:
+        _, sup_batch = collate_batch([samples[i] for i in sup_ids],
+                                     bucket=bucket)
+    return Episode(sup=sup, qry=qry, sup_batch=sup_batch)
 
 
 class ReIdMapper:

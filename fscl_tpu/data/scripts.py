@@ -1,0 +1,96 @@
+"""Corpus-glue scripts (reference scripts/ long tail).
+
+- jsut_hts_to_textgrid: JSUT ships HTS-style full-context label files; this
+  converts them to MFA-like TextGrids (scripts/jsut_hts2textgrid.py).
+- prepare_hifigan_tune_data: dump (mel, wav) pairs for HiFi-GAN fine-tuning
+  (scripts/hifigan_tune_prepare.py:11-40).
+- merge_global_stats: corpus stats.json files -> global stats
+  (scripts/gloabal_normalize_stats.py:7-24; see core.stats.merge_stats).
+"""
+from __future__ import annotations
+
+import json
+import os
+import re
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from fscl_tpu.core.stats import GlobalStats, merge_stats
+from fscl_tpu.data.feature_store import FeatureStore
+
+_HTS_TIME_UNIT = 1e-7   # HTS label times are in 100 ns units
+
+
+def parse_hts_labels(path: str) -> List[Tuple[float, float, str]]:
+    """HTS full-context label lines `start end context` -> (s, e, phone);
+    the phoneme is the `-x+` segment of the context string."""
+    out = []
+    with open(path, encoding="utf-8") as f:
+        for line in f:
+            parts = line.strip().split()
+            if len(parts) < 3:
+                continue
+            start, end, context = parts[0], parts[1], parts[2]
+            m = re.search(r"-(.+?)\+", context)
+            phone = m.group(1) if m else context
+            out.append((float(start) * _HTS_TIME_UNIT,
+                        float(end) * _HTS_TIME_UNIT, phone))
+    return out
+
+
+def jsut_hts_to_textgrid(label_path: str, output_path: str) -> None:
+    intervals = parse_hts_labels(label_path)
+    if not intervals:
+        raise ValueError(f"no labels in {label_path}")
+    xmax = intervals[-1][1]
+    body = []
+    for i, (s, e, p) in enumerate(intervals):
+        text = "" if p in ("sil", "pau") else p
+        body.append(
+            f"        intervals [{i+1}]:\n"
+            f"            xmin = {s}\n            xmax = {e}\n"
+            f"            text = \"{text}\"\n")
+    content = (
+        'File type = "ooTextFile"\nObject class = "TextGrid"\n\n'
+        f"xmin = 0\nxmax = {xmax}\ntiers? <exists>\nsize = 1\nitem []:\n"
+        "    item [1]:\n        class = \"IntervalTier\"\n"
+        "        name = \"phones\"\n"
+        f"        xmin = 0\n        xmax = {xmax}\n"
+        f"        intervals: size = {len(intervals)}\n" + "".join(body))
+    os.makedirs(os.path.dirname(os.path.abspath(output_path)), exist_ok=True)
+    with open(output_path, "w", encoding="utf-8") as f:
+        f.write(content)
+
+
+def prepare_hifigan_tune_data(
+    store: FeatureStore,
+    queries: Sequence[dict],
+    output_dir: str,
+) -> int:
+    """Dump (mel.npy, wav.npy) pairs for vocoder fine-tuning on this
+    corpus's (possibly synthesized) mels."""
+    os.makedirs(output_dir, exist_ok=True)
+    n = 0
+    for q in queries:
+        if not (store.mel.exists(q) and store.wav_trim_22050.exists(q)):
+            continue
+        key = f"{q['spk']}-{q['basename']}"
+        np.save(os.path.join(output_dir, f"{key}-mel.npy"),
+                store.mel.read_from_query(q))
+        np.save(os.path.join(output_dir, f"{key}-wav.npy"),
+                store.wav_trim_22050.read_from_query(q))
+        n += 1
+    return n
+
+
+def merge_global_stats(stats_paths: Sequence[str],
+                       output_path: Optional[str] = None) -> GlobalStats:
+    per_corpus = {}
+    for p in stats_paths:
+        with open(p) as f:
+            per_corpus[p] = json.load(f)
+    merged = merge_stats(per_corpus)
+    if output_path:
+        merged.to_json(output_path)
+    return merged

@@ -1,0 +1,100 @@
+"""Pseudo-unit (ssl_units) generation.
+
+The reference consumes `ssl_units/<name>` feature sub-stores (segments,
+pseudo-phoneme strings, durations, avg pitch/energy, alignment matrices —
+Parsers/parser.py SSLUnitParser) produced by offline DPDP segmentation of
+SSL features. This module is the writer side: run a frame-logit producer
+(cluster head / protonet / k-means) over each utterance, DPDP-decode into
+unit segments, and populate the sub-store so UnitDataset / t2u systems can
+train on them.
+"""
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional, Sequence
+
+import numpy as np
+
+from fscl_tpu.data.feature_store import FeatureStore
+from fscl_tpu.eval.dpdp import dpdp_decode, dpdp_segment_to_time, merge_repeats
+
+
+def generate_ssl_units(
+    store: FeatureStore,
+    unit_name: str,
+    frame_logits_fn: Callable[[dict], np.ndarray],  # query -> (T, n_units)
+    queries: Optional[Sequence[dict]] = None,
+    fp: float = 0.02,
+    lam: float = 0.0,
+) -> int:
+    """Populate ssl_units/<unit_name> with segment/phoneme/duration features
+    + duration-averaged pitch/energy aligned to the unit segmentation."""
+    unit_store = store.get_ssl_unit_store(unit_name)
+    queries = queries if queries is not None else store.load_metadata()
+    n_done = 0
+    for q in queries:
+        try:
+            logits = np.asarray(frame_logits_fn(q))
+        except Exception:
+            continue
+        logp = logits - np.max(logits, axis=-1, keepdims=True)
+        logp = logp - np.log(np.sum(np.exp(logp), -1, keepdims=True))
+        segments, labels = dpdp_decode(logp, lam=lam)
+        segments, labels = merge_repeats(segments, labels)
+        time_segments = dpdp_segment_to_time(segments, fp)
+        durations = np.array([e - s for s, e in segments], np.int64)
+
+        unit_store.segment.save(
+            [[float(s), float(e)] for s, e in time_segments], q)
+        unit_store.phoneme.save(" ".join(str(l) for l in labels), q)
+        unit_store.duration.save(durations, q)
+
+        # duration-averaged pitch/energy on the unit segmentation (the
+        # u2s FastSpeech2 trains on these)
+        if store.interpolate_pitch.exists(q) and store.energy.exists(q):
+            # unit frames are 20 ms; mel frames ~11.6 ms — map via time
+            pitch = np.asarray(store.interpolate_pitch.read_from_query(q))
+            energy = np.asarray(store.energy.read_from_query(q))
+            mel_fp = 256 / 22050
+            avg_p, avg_e = [], []
+            for s, e in time_segments:
+                i0, i1 = int(s / mel_fp), max(int(e / mel_fp), int(s / mel_fp) + 1)
+                avg_p.append(float(pitch[i0:i1].mean()) if i0 < len(pitch) else 0.0)
+                avg_e.append(float(energy[i0:i1].mean()) if i0 < len(energy) else 0.0)
+            unit_store.duration_avg_pitch.save(np.asarray(avg_p, np.float32), q)
+            unit_store.duration_avg_energy.save(np.asarray(avg_e, np.float32), q)
+        n_done += 1
+    unit_store.flush()
+    return n_done
+
+
+def kmeans_unit_labeler(
+    extract_features: Callable[[dict], np.ndarray],  # query -> (T, D)
+    queries: Sequence[dict],
+    n_units: int = 64,
+    max_frames: int = 50000,
+    seed: int = 0,
+) -> Callable[[dict], np.ndarray]:
+    """Fit k-means over pooled SSL frames, return a frame-logit function
+    (negative distances) — the HuBERT-style unit discovery path."""
+    import jax.numpy as jnp
+
+    from fscl_tpu.nn.phoneme_embedding import kmeans
+
+    pool = []
+    total = 0
+    for q in queries:
+        feats = np.asarray(extract_features(q))
+        pool.append(feats)
+        total += len(feats)
+        if total >= max_frames:
+            break
+    x = np.concatenate(pool)[:max_frames]
+    centroids, _ = kmeans(jnp.asarray(x), n_units, seed=seed)
+    centroids = np.asarray(centroids)
+
+    def frame_logits(q):
+        feats = np.asarray(extract_features(q))
+        d = ((feats[:, None, :] - centroids[None]) ** 2).sum(-1)
+        return -d
+
+    return frame_logits

@@ -1,0 +1,68 @@
+"""ctypes bindings for the C++ kernels in cpp/ (built by `make -C cpp`).
+
+Auto-builds the shared libraries on first use if a toolchain is present;
+callers fall back to the numpy implementations otherwise.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+_CPP_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "cpp")
+
+_libs = {}
+
+
+def _load(name: str) -> ctypes.CDLL:
+    if name in _libs:
+        return _libs[name]
+    path = os.path.join(_CPP_DIR, name)
+    if not os.path.isfile(path):
+        subprocess.run(["make", "-C", _CPP_DIR], check=True,
+                       capture_output=True)
+    _libs[name] = ctypes.CDLL(path)
+    return _libs[name]
+
+
+def cpp_yin_f0(wav, sr: int = 22050, hop_length: int = 256,
+               fmin: float = 71.0, fmax: float = 800.0,
+               threshold: float = 0.15, frame_length: int = 1024) -> np.ndarray:
+    lib = _load("libfsclpitch.so")
+    fn = lib.yin_f0
+    fn.restype = ctypes.c_int64
+    wav = np.ascontiguousarray(np.asarray(wav, dtype=np.float32))
+    n_frames = 1 + len(wav) // hop_length
+    out = np.zeros(n_frames, dtype=np.float32)
+    fn(wav.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+       ctypes.c_int64(len(wav)), ctypes.c_int32(sr), ctypes.c_int32(hop_length),
+       ctypes.c_float(fmin), ctypes.c_float(fmax), ctypes.c_float(threshold),
+       ctypes.c_int32(frame_length),
+       out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+    return out
+
+
+def cpp_ctc_beam_decode(
+    logprobs: np.ndarray, blank: int = 0, beam_width: int = 50,
+    token_min_logp: float = -25.0,
+) -> Tuple[List[int], float]:
+    """Lexicon-free CTC beam search (torchaudio/Flashlight ctc_decoder
+    equivalent, lightning/build.py:48-59)."""
+    lib = _load("libfsclctc.so")
+    fn = lib.ctc_beam_decode
+    fn.restype = ctypes.c_int64
+    lp = np.ascontiguousarray(np.asarray(logprobs, dtype=np.float32))
+    T, C = lp.shape
+    out = np.zeros(T, dtype=np.int32)
+    score = ctypes.c_double(0.0)
+    n = fn(lp.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+           ctypes.c_int64(T), ctypes.c_int64(C), ctypes.c_int32(blank),
+           ctypes.c_int32(beam_width), ctypes.c_float(token_min_logp),
+           out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+           ctypes.c_int64(T), ctypes.byref(score))
+    return out[:n].tolist(), float(score.value)

@@ -6,6 +6,10 @@ embedding unless disabled) -> VarianceAdaptor -> (+speaker embedding) ->
 Decoder -> mel linear -> PostNet residual. "Headless" = the phoneme
 embedding lookup/generation lives outside (MultilingualEmbedding or the FSCL
 codebook), so meta-episodes can swap tables functionally.
+
+Submodules are set up by name so the ADA flows can run `decode` standalone
+(the reference uses a decoder-input forward hook + partial forward,
+TransEmbADA.py:42-76 — here `decoder_input` is simply part of the output).
 """
 from __future__ import annotations
 
@@ -23,7 +27,8 @@ from fscl_tpu.ops.masking import length_mask
 
 
 class FastSpeech2Output(NamedTuple):
-    """10-tuple contract of fastspeech2m.py:150-163 (masks as valid-masks)."""
+    """10-tuple contract of fastspeech2m.py:150-163 (masks as valid-masks),
+    plus `decoder_input` for the ADA matching loss."""
     mel: jnp.ndarray
     postnet_mel: jnp.ndarray
     pitch_prediction: jnp.ndarray
@@ -34,13 +39,44 @@ class FastSpeech2Output(NamedTuple):
     mel_valid: jnp.ndarray
     src_len: jnp.ndarray
     mel_len: jnp.ndarray
+    decoder_input: Optional[jnp.ndarray] = None
 
 
 class FastSpeech2(nn.Module):
     cfg: ModelConfig
     stats: GlobalStats
 
-    @nn.compact
+    def setup(self):
+        cfg = self.cfg
+        t = cfg.transformer
+        self.encoder = Encoder(
+            t.encoder_layer, t.encoder_hidden, t.encoder_head,
+            t.conv_filter_size, t.conv_kernel_size, t.encoder_dropout,
+            cfg.max_seq_len, name="encoder")
+        self.variance_adaptor = VarianceAdaptor(cfg, self.stats,
+                                                name="variance_adaptor")
+        self.decoder = Decoder(
+            t.decoder_layer, t.decoder_hidden, t.decoder_head,
+            t.conv_filter_size, t.conv_kernel_size, t.decoder_dropout,
+            cfg.max_seq_len, name="decoder")
+        self.mel_linear = nn.Dense(cfg.audio.n_mels, name="mel_linear")
+        self.postnet = PostNet(cfg.audio.n_mels, name="postnet")
+        if cfg.multi_speaker:
+            self.speaker_emb = SpeakerEncoder(
+                cfg.speaker.emb_type, cfg.speaker.n_speakers,
+                t.encoder_hidden, name="speaker_emb")
+        if cfg.multi_lingual:
+            self.language_emb = LanguageEncoder(
+                cfg.n_languages, t.encoder_hidden, name="language_emb")
+
+    def decode(self, x, mel_valid, deterministic: bool = True):
+        """Decoder -> mel_linear -> postnet residual; standalone entry for
+        ADA reconstruction (TransEmbADA.decoder_forard)."""
+        h = self.decoder(x, mel_valid, deterministic)
+        mel = self.mel_linear(h)
+        postnet_mel = mel + self.postnet(mel, deterministic)
+        return mel, postnet_mel
+
     def __call__(
         self,
         emb_texts,                 # (B, L, D) pre-embedded phonemes
@@ -55,24 +91,16 @@ class FastSpeech2(nn.Module):
         deterministic: bool = True,
     ) -> FastSpeech2Output:
         cfg = self.cfg
-        t = cfg.transformer
         B, L, _ = emb_texts.shape
         src_valid = length_mask(src_lens, L)
         mel_valid = (length_mask(mel_lens, max_mel_len)
                      if mel_lens is not None else None)
 
-        x = Encoder(
-            t.encoder_layer, t.encoder_hidden, t.encoder_head,
-            t.conv_filter_size, t.conv_kernel_size, t.encoder_dropout,
-            cfg.max_seq_len, name="encoder",
-        )(emb_texts, src_valid, deterministic)
+        x = self.encoder(emb_texts, src_valid, deterministic)
 
         spk_emb = None
         if cfg.multi_speaker and speaker_args is not None:
-            spk_emb = SpeakerEncoder(
-                cfg.speaker.emb_type, cfg.speaker.n_speakers,
-                t.encoder_hidden, name="speaker_emb",
-            )(speaker_args)
+            spk_emb = self.speaker_emb(speaker_args)
             if average_spk_emb:
                 # episode-level average (fastspeech2m.py:86-88)
                 spk_emb = jnp.broadcast_to(
@@ -80,12 +108,9 @@ class FastSpeech2(nn.Module):
             x = x + spk_emb[:, None, :]
 
         if cfg.multi_lingual and cfg.use_lang_id and lang_args is not None:
-            lang_emb = LanguageEncoder(
-                cfg.n_languages, t.encoder_hidden, name="language_emb"
-            )(lang_args)
-            x = x + lang_emb[:, None, :]
+            x = x + self.language_emb(lang_args)[:, None, :]
 
-        va = VarianceAdaptor(cfg, self.stats, name="variance_adaptor")(
+        va = self.variance_adaptor(
             x, src_valid, max_mel_len, mel_valid,
             p_targets, e_targets, d_targets,
             p_control, e_control, d_control, deterministic,
@@ -95,15 +120,8 @@ class FastSpeech2(nn.Module):
         if spk_emb is not None:
             x = x + spk_emb[:, None, :]
 
-        x = Decoder(
-            t.decoder_layer, t.decoder_hidden, t.decoder_head,
-            t.conv_filter_size, t.conv_kernel_size, t.decoder_dropout,
-            cfg.max_seq_len, name="decoder",
-        )(x, mel_valid, deterministic)
-
-        mel = nn.Dense(cfg.audio.n_mels, name="mel_linear")(x)
-        postnet_mel = mel + PostNet(
-            cfg.audio.n_mels, name="postnet")(mel, deterministic)
+        decoder_input = x
+        mel, postnet_mel = self.decode(x, mel_valid, deterministic)
 
         return FastSpeech2Output(
             mel=mel,
@@ -116,4 +134,5 @@ class FastSpeech2(nn.Module):
             mel_valid=mel_valid,
             src_len=src_lens,
             mel_len=mel_len,
+            decoder_input=decoder_input,
         )

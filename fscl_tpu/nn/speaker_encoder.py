@@ -62,6 +62,42 @@ class SpeakerEncoder(nn.Module):
         raise ValueError(f"Unknown speaker emb_type: {self.emb_type}")
 
 
+def convert_resemblyzer_checkpoint(state_dict) -> dict:
+    """Convert a resemblyzer VoiceEncoder state_dict (torch LSTM weights)
+    into GE2EEncoder params — the reference consumes pretrained d-vector
+    weights (speaker_encoder.py:115-118 "encoder"/"dvec")."""
+    import numpy as np
+
+    def t(x):
+        return np.asarray(x.detach().cpu().numpy() if hasattr(x, "detach") else x)
+
+    def lstm_layer(i):
+        # torch LSTM gate order: i, f, g, o; flax OptimizedLSTMCell uses
+        # separate kernels per gate {i,f,g,o} with names ii/if/ig/io (input)
+        # and hi/hf/hg/ho (hidden)
+        w_ih = t(state_dict[f"lstm.weight_ih_l{i}"])   # (4H, D)
+        w_hh = t(state_dict[f"lstm.weight_hh_l{i}"])   # (4H, H)
+        b = t(state_dict[f"lstm.bias_ih_l{i}"]) + t(
+            state_dict[f"lstm.bias_hh_l{i}"])
+        H = w_hh.shape[1]
+        gates = ("i", "f", "g", "o")
+        p = {}
+        for gi, g in enumerate(gates):
+            p[f"i{g}"] = {"kernel": w_ih[gi * H:(gi + 1) * H].T}
+            p[f"h{g}"] = {"kernel": w_hh[gi * H:(gi + 1) * H].T,
+                          "bias": b[gi * H:(gi + 1) * H]}
+        return {"cell": p}
+
+    params = {}
+    for i in range(3):
+        params[f"lstm_{i}"] = lstm_layer(i)
+    params["proj"] = {
+        "kernel": t(state_dict["linear.weight"]).T,
+        "bias": t(state_dict["linear.bias"]),
+    }
+    return {"params": params}
+
+
 class LanguageEncoder(nn.Module):
     """Language-id table; fixed at 100 languages like the reference
     (fastspeech2m.py:44-45)."""

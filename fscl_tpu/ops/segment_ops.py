@@ -54,6 +54,35 @@ def segment_mean(
     )
 
 
+def phoneme_query_sums(
+    reprs: jnp.ndarray,        # (B, T, n_layers, D) SSL frame features
+    durations: jnp.ndarray,    # (B, L) avg_frames
+    phonemes: jnp.ndarray,     # (B, L) int phoneme ids
+    n_symbols: int,
+):
+    """Per-symbol (sum, count) of segment means — the accumulable form of
+    phoneme query extraction, so tune flows can stream batches
+    (tune/FastSpeech2Tune.py:42-83 processes the whole few-shot split)."""
+    seg_means = segment_mean(reprs, durations)        # (B, L, n_layers, D)
+    B, L = seg_means.shape[:2]
+    present = (durations > 0)
+    ids = jnp.where(present, phonemes.astype(jnp.int32), n_symbols).reshape(-1)
+    flat = seg_means.reshape((B * L,) + seg_means.shape[2:])
+    sums = jax.ops.segment_sum(flat, ids, num_segments=n_symbols + 1)[:n_symbols]
+    counts = jax.ops.segment_sum(
+        present.astype(jnp.float32).reshape(-1), ids, num_segments=n_symbols + 1
+    )[:n_symbols]
+    return sums, counts
+
+
+def queries_from_sums(sums: jnp.ndarray, counts: jnp.ndarray) -> jnp.ndarray:
+    n_symbols = sums.shape[0]
+    shape = (n_symbols,) + (1,) * (sums.ndim - 1)
+    out = sums / jnp.maximum(counts, 1.0).reshape(shape)
+    out = jnp.where((counts > 0).reshape(shape), out, 0.0)
+    return out[None]
+
+
 def phoneme_query_extract(
     reprs: jnp.ndarray,        # (B, T, n_layers, D) SSL frame features
     durations: jnp.ndarray,    # (B, L) avg_frames
@@ -67,21 +96,8 @@ def phoneme_query_extract(
     segments in the batch with that phoneme id. Output (1, n_symbols,
     n_layers, D); symbols never observed are zero.
     """
-    seg_means = segment_mean(reprs, durations)        # (B, L, n_layers, D)
-    B, L = seg_means.shape[:2]
-    present = (durations > 0)
-
-    ids = jnp.where(present, phonemes.astype(jnp.int32), n_symbols).reshape(-1)
-    flat = seg_means.reshape((B * L,) + seg_means.shape[2:])
-    sums = jax.ops.segment_sum(flat, ids, num_segments=n_symbols + 1)[:n_symbols]
-    counts = jax.ops.segment_sum(
-        present.astype(jnp.float32).reshape(-1), ids, num_segments=n_symbols + 1
-    )[:n_symbols]
-    out = sums / jnp.maximum(counts, 1.0).reshape((n_symbols,) + (1,) * (flat.ndim - 1))
-    out = jnp.where(
-        (counts > 0).reshape((n_symbols,) + (1,) * (flat.ndim - 1)), out, 0.0
-    )
-    return out[None]  # (1, n_symbols, n_layers, D)
+    sums, counts = phoneme_query_sums(reprs, durations, phonemes, n_symbols)
+    return queries_from_sums(sums, counts)
 
 
 def frame_phoneme_query_extract(

@@ -79,7 +79,7 @@ class BaselineSystem(System):
             d_targets=batch.durations,
             lang_args=batch.lang_ids,
             deterministic=not train,
-            rngs=rngs, mutable=mutable,
+            rngs=rngs, mutable=mutable if mutable else False,
         )
         new_bs = None
         if mutable:

@@ -38,9 +38,12 @@ from fscl_tpu.systems.base import System
 
 class Episode(NamedTuple):
     """One meta-episode: support raw speech + query TTS batch
-    (FSCLCollate output: (sup_out, qry_out, sup_info))."""
+    (FSCLCollate output: (sup_out, qry_out, sup_info)). `sup_batch` is the
+    support set's full TTS batch (the reference's sup_out), used by the
+    MAML inner loop."""
     sup: SupInfo
     qry: Batch
+    sup_batch: Optional[Batch] = None
 
 
 @SYSTEMS.register("fscl", "fscl-orig")
@@ -130,7 +133,7 @@ class TransEmbSystem(System):
     # -- episode forward --------------------------------------------------------
     def common_step(self, params, batch_stats, episode: Episode, rng, train):
         """(TransEmbOrig.common_step, TransEmbOrig.py:93-126)."""
-        sup, qry = episode
+        sup, qry = episode.sup, episode.qry
         ssl_hidden, _ = self.extract_ssl(sup.wavs, sup.wav_lens)
         table = self.build_embedding_table(params, ssl_hidden, sup)
         emb_texts = jnp.take(table, qry.texts, axis=0)
@@ -148,7 +151,7 @@ class TransEmbSystem(System):
             p_targets=qry.pitches, e_targets=qry.energies,
             d_targets=qry.durations, lang_args=qry.lang_ids,
             average_spk_emb=True,           # TransEmbOrig.py:113
-            deterministic=not train, rngs=rngs, mutable=mutable,
+            deterministic=not train, rngs=rngs, mutable=mutable if mutable else False,
         )
         new_bs = None
         if mutable:

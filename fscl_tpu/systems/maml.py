@@ -1,0 +1,135 @@
+"""MAML-style meta-adaptation with on-chip lax.scan inner loops.
+
+Re-design of the reference's learn2learn MAML usage (TransEmbOrig2System,
+TransEmbOrig.py:215-330; AdaptorSystem adaptation_lr/steps, adaptor.py:6-41)
+as pure JAX: the inner loop is a `lax.scan` of SGD steps on the support
+batch carried entirely on-device (the north-star's "MAML inner loops as
+jax.lax.scan"), differentiated through for the outer (meta) update.
+
+`inner_adapt` is generic: give it a loss(params, batch) and it returns
+adapted params after K steps. `MAMLTransEmbSystem` ("fscl-orig2") applies it
+to the FSCL episode: the generated embedding table + FastSpeech2 are adapted
+on the support TTS batch, then the query loss (computed with adapted
+params) drives the meta-gradient.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from fscl_tpu.core.registry import SYSTEMS
+from fscl_tpu.data.batch import Batch
+from fscl_tpu.nn.losses import fastspeech2_loss
+from fscl_tpu.systems.fscl import Episode, TransEmbSystem
+
+
+def inner_adapt(
+    loss_fn: Callable[[Any], jnp.ndarray],
+    params: Any,
+    inner_lr: float,
+    inner_steps: int,
+    first_order: bool = False,
+) -> Any:
+    """K SGD steps on `params` via lax.scan; differentiable (2nd-order MAML)
+    unless first_order=True (stop-gradient through the inner grads)."""
+    if inner_steps <= 0:
+        return params
+
+    def step(p, _):
+        g = jax.grad(loss_fn)(p)
+        if first_order:
+            g = jax.lax.stop_gradient(g)
+        p = jax.tree_util.tree_map(lambda a, b: a - inner_lr * b, p, g)
+        return p, None
+
+    adapted, _ = jax.lax.scan(step, params, None, length=inner_steps)
+    return adapted
+
+
+@SYSTEMS.register("fscl-orig2", "maml")
+class MAMLTransEmbSystem(TransEmbSystem):
+    """FSCL episode with inner-loop adaptation on the support batch."""
+
+    def __init__(self, *args, adaptation_lr: float = 1e-3,
+                 adaptation_steps: int = 2, first_order: bool = False,
+                 **kwargs):
+        super().__init__(*args, **kwargs)
+        self.adaptation_lr = adaptation_lr
+        self.adaptation_steps = adaptation_steps
+        self.first_order = first_order
+
+    def _episode_loss(self, params, batch_stats, table, batch: Batch, rng,
+                      train: bool):
+        """FastSpeech2 loss on `batch` with embeddings from `table`."""
+        emb = jnp.take(table, batch.texts, axis=0)
+        emb = jnp.where((batch.texts == 0)[..., None], 0.0, emb)
+        model_vars = {"params": params["model"]}
+        if batch_stats is not None:
+            model_vars["batch_stats"] = batch_stats["model"]
+        rngs = {"dropout": rng} if train and rng is not None else None
+        out = self.model.apply(
+            model_vars, emb, batch.src_lens, batch.mels.shape[1],
+            speaker_args=batch.speaker_args, mel_lens=batch.mel_lens,
+            p_targets=batch.pitches, e_targets=batch.energies,
+            d_targets=batch.durations, lang_args=batch.lang_ids,
+            average_spk_emb=True, deterministic=not train, rngs=rngs,
+            mutable=["batch_stats"] if train else False)
+        if train:
+            out, _ = out   # BN running stats are not meta-learned; discard
+        losses = fastspeech2_loss(
+            out.mel, out.postnet_mel, out.pitch_prediction,
+            out.energy_prediction, out.log_duration_prediction,
+            batch.mels, batch.pitches, batch.energies, batch.durations,
+            out.src_valid, out.mel_valid,
+            self.model_cfg.variance.pitch_feature,
+            self.model_cfg.variance.energy_feature)
+        return losses
+
+    def loss_and_metrics(self, params, batch_stats, episode: Episode, rng,
+                         train):
+        assert episode.sup_batch is not None, (
+            "MAML system needs collate_episode(with_sup_batch=True)")
+        sup, qry = episode.sup, episode.qry
+        ssl_hidden, _ = self.extract_ssl(sup.wavs, sup.wav_lens)
+        table = self.build_embedding_table(params, ssl_hidden, sup)
+
+        # inner loop: adapt (table, model params) on the support TTS batch
+        inner_state = {"table": table, "model": params["model"]}
+
+        def sup_loss(p):
+            inner_params = {"model": p["model"], "codebook": params["codebook"]}
+            losses = self._episode_loss(
+                inner_params, batch_stats, p["table"], episode.sup_batch,
+                None, False)
+            return losses.total
+
+        adapted = inner_adapt(sup_loss, inner_state, self.adaptation_lr,
+                              self.adaptation_steps, self.first_order)
+
+        # outer loss on the query batch through the adapted params
+        outer_params = {"model": adapted["model"],
+                        "codebook": params["codebook"]}
+        losses = self._episode_loss(
+            outer_params, batch_stats, adapted["table"], qry, rng, train)
+        return losses.total, (losses.as_dict(), None)
+
+
+def fast_adaptation_scan(
+    loss_fn: Callable[[Any, Any], jnp.ndarray],
+    params: Any,
+    batches: Any,                # pytree with leading scan axis (n_steps, ...)
+    lr: float = 1e-3,
+):
+    """Test-time fast adaptation entirely on-chip: scan SGD over a stacked
+    batch sequence (the tune flows' adaptation loop without host round
+    trips). Returns (adapted params, per-step losses)."""
+
+    def step(p, batch):
+        loss, g = jax.value_and_grad(loss_fn)(p, batch)
+        p = jax.tree_util.tree_map(lambda a, b: a - lr * b, p, g)
+        return p, loss
+
+    return jax.lax.scan(step, params, batches)

@@ -99,7 +99,7 @@ class TacoT2USystem(System):
             model_vars, emb, batch.src_lens, batch.units, r_scan,
             teacher_forcing_ratio=tf_ratio, deterministic=not train,
             rngs={"dropout": r_drop} if train else None,
-            mutable=mutable)
+            mutable=mutable if mutable else False)
         new_bs = None
         if mutable:
             (logits, aligns), updates = out
@@ -198,7 +198,7 @@ class TransEmbT2USystem(System):
             teacher_forcing_ratio=schedule_f(step),
             deterministic=not train,
             rngs={"dropout": r_drop} if train else None,
-            mutable=mutable)
+            mutable=mutable if mutable else False)
         new_bs = None
         if mutable:
             (logits, aligns), updates = out

@@ -1,0 +1,205 @@
+"""T2U tune family: few-shot transfer, E2E chain, domain-adversarial.
+
+Re-designs of lightning/systems/t2u/TransEmbTune.py (368), TransEmbE2ETune.py
+(455), TransEmbDATune.py (340), TransEmbDAE2ETune.py (455):
+
+- `t2u_tune_init`: generate the phoneme-embedding table for the target
+  language from the few-shot split (Downstream1 over SSL features + two-
+  stage phoneme query extraction) and transplant it into a TacoT2USystem's
+  MultilingualEmbedding (TransEmbTune tune_init).
+- `E2ETuneSystem`: chains a frozen pre-trained u2s BaselineSystem
+  (TransEmbE2ETune.py:56-68): t2u logits -> softmax @ u2s unit-embedding
+  table -> u2s FastSpeech2 -> joint loss T2U + U2S
+  (TransEmbE2ETune.py:169-193).
+- `DATuneSystem`: adds a gradient-reversal unit-LM discriminator loss over
+  (soft) predicted unit distributions vs. real unit sequences
+  (TransEmbDATune; modules.py DA).
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Iterable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fscl_tpu.core.config import ModelConfig, OptimConfig
+from fscl_tpu.core.registry import SYSTEMS
+from fscl_tpu.data.batch import Batch, SupInfo
+from fscl_tpu.models.tacotron2_t2u import T2UConfig
+from fscl_tpu.nn.losses import framewise_accuracy, framewise_ce_loss, fastspeech2_loss
+from fscl_tpu.ops.masking import length_mask
+from fscl_tpu.ops.segment_ops import phoneme_query_sums, queries_from_sums
+from fscl_tpu.systems.t2u import (
+    DA, T2UBatch, TacoT2USystem, TransEmbT2USystem,
+)
+
+
+def t2u_build_reference_table(
+    fscl_t2u: TransEmbT2USystem,
+    params: Dict[str, Any],
+    sup_batches: Iterable[SupInfo],
+) -> jnp.ndarray:
+    """Stream the few-shot split through Downstream1 + phoneme query
+    extraction, accumulating per-symbol sums (TransEmbTune tune_init)."""
+    total_sums = total_counts = None
+    n_symbols = fscl_t2u.n_symbols
+
+    @jax.jit
+    def batch_sums(wavs, wav_lens, avg_frames, phonemes):
+        hidden, _ = fscl_t2u.extract_ssl(wavs, wav_lens)
+        Tp = hidden.shape[1]
+        frame_valid = length_mask(
+            jnp.minimum(jnp.sum(avg_frames, -1), Tp), Tp)
+        x = fscl_t2u.embedding_generator.apply(
+            {"params": params["embedding_generator"]}, hidden, frame_valid,
+            True)
+        return phoneme_query_sums(
+            x[:, :, None, :], avg_frames, phonemes, n_symbols)
+
+    for sup in sup_batches:
+        sums, counts = batch_sums(
+            jnp.asarray(sup.wavs), jnp.asarray(sup.wav_lens),
+            jnp.asarray(sup.avg_frames), jnp.asarray(sup.phonemes))
+        total_sums = sums if total_sums is None else total_sums + sums
+        total_counts = counts if total_counts is None else total_counts + counts
+    return queries_from_sums(total_sums, total_counts)[0, :, 0]
+
+
+def t2u_tune_init(
+    fscl_t2u: TransEmbT2USystem,
+    fscl_params: Dict[str, Any],
+    t2u_system: TacoT2USystem,
+    t2u_params: Dict[str, Any],
+    sup_batches: Iterable[SupInfo],
+    symbol_id: str,
+) -> Dict[str, Any]:
+    """Embedding transplant into the supervised T2U system."""
+    table = t2u_build_reference_table(fscl_t2u, fscl_params, sup_batches)
+    emb = dict(t2u_params["embedding"])
+    key = f"table-{symbol_id}"
+    assert key in emb and emb[key].shape == table.shape
+    emb[key] = table
+    out = dict(t2u_params)
+    out["embedding"] = emb
+    return out
+
+
+class E2EBatch(NamedTuple):
+    """Paired t2u + u2s data (T2U2SDataModule CombinedLoader semantics)."""
+    t2u: T2UBatch
+    u2s: Batch
+
+
+@SYSTEMS.register("fscl-t2u-e2e-tune")
+class E2ETuneSystem(TacoT2USystem):
+    """T2U fine-tuning chained through a FROZEN u2s BaselineSystem."""
+
+    def __init__(self, model_cfg: ModelConfig, optim_cfg: OptimConfig,
+                 id2symbols: Tuple[Tuple[str, int], ...], t2u_cfg: T2UConfig,
+                 u2s_system, u2s_params, u2s_batch_stats=None):
+        super().__init__(model_cfg, optim_cfg, id2symbols, t2u_cfg)
+        self.u2s_system = u2s_system
+        self.u2s_params = jax.tree_util.tree_map(
+            jax.lax.stop_gradient, u2s_params)
+        self.u2s_batch_stats = u2s_batch_stats
+
+    def init_variables(self, rng, batch: E2EBatch) -> Dict[str, Any]:
+        return super().init_variables(rng, batch.t2u)
+
+    def u2s_forward(self, t2u_logits, u2s_batch: Batch):
+        """(TransEmbE2ETune.common_u2s_step, TransEmbE2ETune.py:169-182):
+        soft unit distribution times the frozen u2s unit-embedding table."""
+        probs = jax.nn.softmax(t2u_logits, axis=-1)
+        table = list(self.u2s_params["embedding"].values())[0]
+        n_units = table.shape[0]
+        probs = probs[..., :n_units]
+        emb = jnp.einsum("btu,ud->btd", probs, table,
+                         preferred_element_type=jnp.float32)
+        model_vars = {"params": self.u2s_params["model"]}
+        if self.u2s_batch_stats is not None:
+            model_vars["batch_stats"] = self.u2s_batch_stats["model"]
+        # unit sequence length = t2u target length here
+        src_lens = u2s_batch.src_lens
+        return self.u2s_system.model.apply(
+            model_vars, emb, src_lens, u2s_batch.mels.shape[1],
+            speaker_args=u2s_batch.speaker_args,
+            mel_lens=u2s_batch.mel_lens,
+            p_targets=u2s_batch.pitches, e_targets=u2s_batch.energies,
+            d_targets=u2s_batch.durations, lang_args=u2s_batch.lang_ids,
+        )
+
+    def loss_and_metrics(self, params, batch_stats, batch: E2EBatch, rng,
+                         train):
+        logits, _, new_bs = self.forward(
+            params, batch_stats, batch.t2u, rng, train)
+        t2u_loss = framewise_ce_loss(logits, batch.t2u.units)
+        out = self.u2s_forward(logits, batch.u2s)
+        u2s = fastspeech2_loss(
+            out.mel, out.postnet_mel, out.pitch_prediction,
+            out.energy_prediction, out.log_duration_prediction,
+            batch.u2s.mels, batch.u2s.pitches, batch.u2s.energies,
+            batch.u2s.durations, out.src_valid, out.mel_valid,
+            self.model_cfg.variance.pitch_feature,
+            self.model_cfg.variance.energy_feature)
+        total = t2u_loss + u2s.total   # TransEmbE2ETune.py:184-193
+        acc = framewise_accuracy(logits, batch.t2u.units)
+        return total, ({
+            "Total Loss": total, "T2U Loss": t2u_loss,
+            "U2S Loss": u2s.total, "Acc": acc,
+        }, new_bs)
+
+
+class DABatch(NamedTuple):
+    t2u: T2UBatch
+    real_units: np.ndarray      # (B, T_u) unit ids from the unit LM stream
+    real_unit_lens: np.ndarray
+
+
+@SYSTEMS.register("fscl-t2u-da-tune")
+class DATuneSystem(TacoT2USystem):
+    """T2U fine-tuning with a gradient-reversal unit discriminator
+    (TransEmbDATune; wav2vec2-U style)."""
+
+    def __init__(self, model_cfg: ModelConfig, optim_cfg: OptimConfig,
+                 id2symbols: Tuple[Tuple[str, int], ...], t2u_cfg: T2UConfig,
+                 da_weight: float = 1.0):
+        super().__init__(model_cfg, optim_cfg, id2symbols, t2u_cfg)
+        self.da = DA(t2u_cfg.n_units)
+        self.da_weight = da_weight
+
+    def init_variables(self, rng, batch: DABatch) -> Dict[str, Any]:
+        variables = super().init_variables(rng, batch.t2u)
+        dummy = jnp.zeros(batch.t2u.units.shape + (self.t2u_cfg.n_units,))
+        da_vars = self.da.init(jax.random.fold_in(rng, 11), dummy)
+        variables["params"]["da"] = da_vars["params"]
+        return variables
+
+    def loss_and_metrics(self, params, batch_stats, batch: DABatch, rng,
+                         train):
+        logits, _, new_bs = self.forward(
+            params, batch_stats, batch.t2u, rng, train)
+        t2u_loss = framewise_ce_loss(logits, batch.t2u.units)
+
+        # discriminator: fake = softmax of predictions (through GRL),
+        # real = one-hot real unit stream
+        probs = jax.nn.softmax(logits, axis=-1)
+        fake_valid = batch.t2u.units != 0
+        fake_score = self.da.apply(
+            {"params": params["da"]}, probs, fake_valid)
+        real_onehot = jax.nn.one_hot(batch.real_units, self.t2u_cfg.n_units)
+        real_valid = length_mask(batch.real_unit_lens,
+                                 batch.real_units.shape[1])
+        real_score = self.da.apply(
+            {"params": params["da"]}, real_onehot, real_valid)
+        # discriminator maximizes real-vs-fake margin; generator (through
+        # the reversal) minimizes it
+        da_loss = jnp.mean(jax.nn.softplus(-real_score)) + \
+            jnp.mean(jax.nn.softplus(fake_score))
+
+        total = t2u_loss + self.da_weight * da_loss
+        acc = framewise_accuracy(logits, batch.t2u.units)
+        return total, ({
+            "Total Loss": total, "T2U Loss": t2u_loss, "DA Loss": da_loss,
+            "Acc": acc,
+        }, new_bs)

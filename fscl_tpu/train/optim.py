@@ -61,5 +61,14 @@ def make_optimizer(cfg: OptimConfig, trainable_mask=None) -> optax.GradientTrans
     if cfg.grad_acc_step > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=cfg.grad_acc_step)
     if trainable_mask is not None:
-        tx = optax.masked(tx, trainable_mask)
+        # optax.masked alone lets unmasked grads pass through untouched —
+        # frozen params must get ZERO updates, so chain a set_to_zero on the
+        # complement mask.
+        import jax
+
+        inverse = jax.tree_util.tree_map(lambda b: not b, trainable_mask)
+        tx = optax.chain(
+            optax.masked(tx, trainable_mask),
+            optax.masked(optax.set_to_zero(), inverse),
+        )
     return tx
