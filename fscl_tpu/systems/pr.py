@@ -114,7 +114,8 @@ class SSLLinearSystem(_SSLPRBase):
         return loss, ({"Total Loss": loss, "Acc": acc}, None)
 
 
-@SYSTEMS.register("pr-ssl-baseline", "pr-ssl-baseline-tune")
+@SYSTEMS.register("pr-ssl-baseline", "pr-ssl-baseline-tune",
+                  "pr-trans-head", "pr-trans-head-tune")
 class SSLBaselineSystem(_SSLPRBase):
     def __init__(self, *args, **kwargs):
         super().__init__(*args, **kwargs)

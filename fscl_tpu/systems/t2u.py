@@ -216,6 +216,68 @@ class TransEmbT2USystem(System):
         return loss, ({"Total Loss": loss, "Acc": acc}, new_bs)
 
 
+@SYSTEMS.register("fscl-t2u-c")
+class TransEmbCT2USystem(TransEmbT2USystem):
+    """TransEmbC (t2u/TransEmbC.py:25-90): embedding generator is
+    Downstream2 (codeformer last layer) instead of Downstream1."""
+
+    def __init__(self, model_cfg, optim_cfg, n_symbols, t2u_cfg,
+                 upstream=None):
+        super().__init__(model_cfg, optim_cfg, n_symbols, t2u_cfg, upstream)
+        from fscl_tpu.nn.downstreams import Downstream2
+        self.embedding_generator = Downstream2(
+            n_in_layers=model_cfg.upstream.n_layers,
+            codebook_size=model_cfg.codebook.size,
+            d_model=t2u_cfg.symbols_embedding_dim,
+            specific_layer=model_cfg.upstream.layer_idx,
+        )
+
+    def build_embedding_table(self, params, ssl_hidden, sup: SupInfo,
+                              train: bool = False, rng=None):
+        Tp = ssl_hidden.shape[1]
+        frame_lens = jnp.sum(sup.avg_frames, axis=-1)
+        frame_valid = length_mask(jnp.minimum(frame_lens, Tp), Tp)
+        x, _ = self.embedding_generator.apply(
+            {"params": params["embedding_generator"]}, ssl_hidden,
+            frame_valid, True)
+        x = x[:, :, None, :]
+        return phoneme_query_extract(
+            x, sup.avg_frames, sup.phonemes, sup.n_symbols)[0, :, 0]
+
+
+@SYSTEMS.register("fscl-t2u-c2")
+class TransEmbC2T2USystem(TransEmbT2USystem):
+    """TransEmbC2 (t2u/TransEmbC2.py:25-80): Downstream1 features, then a
+    codebook attention over the extracted phoneme queries."""
+
+    def __init__(self, model_cfg, optim_cfg, n_symbols, t2u_cfg,
+                 upstream=None):
+        super().__init__(model_cfg, optim_cfg, n_symbols, t2u_cfg, upstream)
+        from fscl_tpu.nn.embeddings import SoftMultiAttCodebook
+        self.codebook_attention = SoftMultiAttCodebook(
+            codebook_size=model_cfg.codebook.size,
+            dim=t2u_cfg.symbols_embedding_dim,
+            num_heads=model_cfg.codebook.num_heads,
+        )
+
+    def init_variables(self, rng, episode: "T2UEpisode"):
+        variables = super().init_variables(rng, episode)
+        dummy = jnp.zeros(
+            (1, episode.sup.n_symbols, self.t2u_cfg.symbols_embedding_dim))
+        cb_vars = self.codebook_attention.init(
+            jax.random.fold_in(rng, 5), dummy)
+        variables["params"]["codebook_attention"] = cb_vars["params"]
+        return variables
+
+    def build_embedding_table(self, params, ssl_hidden, sup: SupInfo,
+                              train: bool = False, rng=None):
+        table_pre = super().build_embedding_table(
+            params, ssl_hidden, sup, train, rng)       # (n_symbols, d)
+        table, _ = self.codebook_attention.apply(
+            {"params": params["codebook_attention"]}, table_pre[None])
+        return table[0]
+
+
 class GradientReversal(nn.Module):
     """Gradient reversal layer (t2u/modules.py:10-20 equivalent)."""
     scale: float = 1.0

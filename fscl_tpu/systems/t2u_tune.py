@@ -156,6 +156,56 @@ class DABatch(NamedTuple):
     real_unit_lens: np.ndarray
 
 
+class DAE2EBatch(NamedTuple):
+    t2u: T2UBatch
+    u2s: Batch
+    real_units: np.ndarray
+    real_unit_lens: np.ndarray
+
+
+@SYSTEMS.register("fscl-t2u-dae2e-tune")
+class DAE2ETuneSystem(E2ETuneSystem):
+    """E2E chain + gradient-reversal unit discriminator
+    (TransEmbDAE2ETune.py): Total = T2U + U2S + DA."""
+
+    def __init__(self, *args, da_weight: float = 1.0, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.da = DA(self.t2u_cfg.n_units)
+        self.da_weight = da_weight
+
+    def init_variables(self, rng, batch: "DAE2EBatch") -> Dict[str, Any]:
+        variables = super().init_variables(
+            rng, E2EBatch(t2u=batch.t2u, u2s=batch.u2s))
+        dummy = jnp.zeros(batch.t2u.units.shape + (self.t2u_cfg.n_units,))
+        da_vars = self.da.init(jax.random.fold_in(rng, 11), dummy)
+        variables["params"]["da"] = da_vars["params"]
+        return variables
+
+    def loss_and_metrics(self, params, batch_stats, batch: "DAE2EBatch",
+                         rng, train):
+        e2e_total, (metrics, new_bs) = super().loss_and_metrics(
+            params, batch_stats, E2EBatch(t2u=batch.t2u, u2s=batch.u2s),
+            rng, train)
+        # recompute logits for the DA term (cheap relative to the chain)
+        logits, _, _ = self.forward(params, batch_stats, batch.t2u,
+                                    rng, False)
+        probs = jax.nn.softmax(logits, axis=-1)
+        fake_score = self.da.apply({"params": params["da"]}, probs,
+                                   batch.t2u.units != 0)
+        real_onehot = jax.nn.one_hot(batch.real_units, self.t2u_cfg.n_units)
+        real_valid = length_mask(batch.real_unit_lens,
+                                 batch.real_units.shape[1])
+        real_score = self.da.apply({"params": params["da"]}, real_onehot,
+                                   real_valid)
+        da_loss = jnp.mean(jax.nn.softplus(-real_score)) + \
+            jnp.mean(jax.nn.softplus(fake_score))
+        total = e2e_total + self.da_weight * da_loss
+        metrics = dict(metrics)
+        metrics["DA Loss"] = da_loss
+        metrics["Total Loss"] = total
+        return total, (metrics, new_bs)
+
+
 @SYSTEMS.register("fscl-t2u-da-tune")
 class DATuneSystem(TacoT2USystem):
     """T2U fine-tuning with a gradient-reversal unit discriminator
