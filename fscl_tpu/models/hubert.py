@@ -108,6 +108,8 @@ class SSLUpstream(nn.Module):
     n_heads: int = 16
     ffn_dim: int = 4096
     layer_norm_first: bool = True
+    pos_conv_kernel: int = 128
+    pos_conv_groups: int = 16
 
     @nn.compact
     def __call__(self, wav, wav_valid=None):
@@ -128,7 +130,9 @@ class SSLUpstream(nn.Module):
         x = nn.LayerNorm(name="feat_layer_norm")(feats)
         x = nn.Dense(self.dim, name="post_extract_proj")(x)
         x = jnp.where(frame_valid[..., None], x, 0.0)
-        x = x + PositionalConvEmbedding(self.dim, name="pos_conv")(x)
+        x = x + PositionalConvEmbedding(
+            self.dim, self.pos_conv_kernel, self.pos_conv_groups,
+            name="pos_conv")(x)
         if not self.layer_norm_first:
             x = nn.LayerNorm(name="encoder_layer_norm")(x)
 
@@ -182,11 +186,21 @@ def convert_torch_checkpoint(state_dict) -> dict:
         "kernel": t(state_dict["feature_projection.projection.weight"]).T,
         "bias": t(state_dict["feature_projection.projection.bias"]),
     }
-    # pos conv (weight-norm parametrized in torch)
+    # pos conv (weight-norm parametrized in torch; two key formats)
     if "encoder.pos_conv_embed.conv.weight_g" in state_dict:
         g = t(state_dict["encoder.pos_conv_embed.conv.weight_g"])
         v = t(state_dict["encoder.pos_conv_embed.conv.weight_v"])
         w = g * v / np.linalg.norm(v, axis=(0, 1), keepdims=True)
+    elif ("encoder.pos_conv_embed.conv.parametrizations.weight.original0"
+          in state_dict):
+        g = t(state_dict[
+            "encoder.pos_conv_embed.conv.parametrizations.weight.original0"])
+        v = t(state_dict[
+            "encoder.pos_conv_embed.conv.parametrizations.weight.original1"])
+        norm = np.linalg.norm(
+            v, axis=tuple(i for i in range(v.ndim) if g.shape[i] == 1),
+            keepdims=True)
+        w = g * v / norm
     else:
         w = t(state_dict["encoder.pos_conv_embed.conv.weight"])
     p["pos_conv"] = {"conv": {
