@@ -24,7 +24,10 @@ def main():
     from fscl_tpu.data.batch import Batch
     from fscl_tpu.systems.baseline import BaselineSystem
 
-    B, L, T = 8, 128, 1000
+    # T=512 is the bucket covering L=128 inputs (bucketed static shapes,
+    # SURVEY §7.1); note the CPU reference runs dynamic shapes and computes
+    # only the predicted frames, so the comparison is conservative for us.
+    B, L, T = 8, 128, 512
     cfg = ModelConfig(speaker=SpeakerConfig(n_speakers=64), max_seq_len=1000)
     n_sym = 361
     system = BaselineSystem(cfg, OptimConfig(), (("en", n_sym),))

@@ -139,6 +139,44 @@ class FSCLDataset(FastSpeech2Dataset):
         return sample
 
 
+class UnitFSCLDataset(FSCLDataset):
+    """FSCLDataset with pseudo-unit labels from ssl_units/<name> instead of
+    MFA phonemes (lightning/datasets/language/FSCLDataset.py UnitFSCLDataset):
+    the support set's "phonemes" and avg_frames come from the unsupervised
+    unit segmentation, so the embedding table is built over the unit
+    inventory."""
+
+    def __init__(self, *args, unit_name: str, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.unit_name = unit_name
+        self.unit_store = self.store.get_ssl_unit_store(unit_name)
+        from fscl_tpu.frontend import n_symbols
+        self.n_unit_symbols = n_symbols(unit_name)
+
+    def __getitem__(self, idx: int) -> Dict:
+        sample = super().__getitem__(idx)
+        q = self.queries[idx]
+        query = {"spk": q["spk"], "basename": q["basename"]}
+        unit_phonemes = self.unit_store.phoneme.read_from_query(query)
+        from fscl_tpu.frontend import units_to_sequence
+        units = np.asarray(units_to_sequence(unit_phonemes, self.unit_name))
+        durations = np.asarray(
+            self.unit_store.duration.read_from_query(query), dtype=np.int64)
+        sample.update({
+            "phonemes": units,
+            "avg_frames": durations,
+            "symbol_id": self.unit_name,
+            "n_symbols": self.n_unit_symbols,
+        })
+        return sample
+
+
+# Unsupervised variant: identical mechanics, the unit store just comes from
+# an unsupervised segmentation run (data/ssl_units.generate_ssl_units) —
+# alias for discoverability (reference UnsupFSCLDataset).
+UnsupFSCLDataset = UnitFSCLDataset
+
+
 class TextDataset:
     """Inference-only: lines `basename|spk|{phonemes}|text` without acoustic
     features (lightning/datasets/language/TextDataset.py)."""
@@ -195,8 +233,8 @@ class UnitDataset:
             f"{{{phonemes}}}", self.config.text_cleaners,
             self.config.symbol_id))
         unit_phonemes = self.unit_store.phoneme.read_from_query(query)
-        units = np.asarray(text_to_sequence(
-            f"{{{unit_phonemes}}}", ("basic_cleaners",), self.unit_name))
+        from fscl_tpu.frontend import units_to_sequence
+        units = np.asarray(units_to_sequence(unit_phonemes, self.unit_name))
         units = np.concatenate([units, [self.EOS]])
         return {
             "id": q["basename"],

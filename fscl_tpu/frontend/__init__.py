@@ -64,6 +64,14 @@ def text_to_sequence(text: str, cleaner_names, lang_id: str = "en") -> List[int]
     return sequence
 
 
+def units_to_sequence(unit_string: str, unit_name: str):
+    """Map a space-separated pseudo-unit string directly by the unit symbol
+    table (reference: per-dataset unit2id dicts, t2u/DADataset.py:29,45 —
+    units are plain tokens, not @-prefixed phonemes)."""
+    table = _symbol_to_id[unit_name]
+    return [table[tok] for tok in unit_string.split() if tok in table]
+
+
 def sequence_to_text(sequence, lang_id: str = "en") -> str:
     result = ""
     for sid in sequence:
