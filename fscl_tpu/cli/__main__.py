@@ -34,6 +34,15 @@ def main(argv=None):
     t.add_argument("--resume", action="store_true")
     t.add_argument("--n_devices", type=int, default=None)
 
+    tu = sub.add_parser("tune", help="few-shot transfer to a new language")
+    tu.add_argument("--data_config", required=True,
+                    help="few-shot task config.yaml (task generation output)")
+    tu.add_argument("--fscl_ckpt", default=None,
+                    help="pretrained FSCL checkpoint dir")
+    tu.add_argument("--model_config", default=None)
+    tu.add_argument("--exp_dir", default="output/tune")
+    tu.add_argument("--adaptation_steps", type=int, default=20000)
+
     s = sub.add_parser("synth", help="synthesize from text")
     s.add_argument("--ckpt_dir", required=True)
     s.add_argument("--data_config", required=True)
@@ -56,6 +65,8 @@ def main(argv=None):
         from fscl_tpu.cli.preprocess_cmd import run
     elif args.command == "train":
         from fscl_tpu.cli.train_cmd import run
+    elif args.command == "tune":
+        from fscl_tpu.cli.tune_cmd import run
     elif args.command == "synth":
         from fscl_tpu.cli.synth_cmd import run
     elif args.command == "evaluate":

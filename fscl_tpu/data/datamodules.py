@@ -47,7 +47,8 @@ class BaseDataModule:
         return out
 
 
-@DATAMODULES.register("baseline", "baseline-tune")
+@DATAMODULES.register("baseline", "baseline-tune", "fscl-orig-tune",
+                      "fscl-tune")
 class FastSpeech2DataModule(BaseDataModule):
     """Plain multilingual supervised loader
     (FastSpeech2DataModule.py:12-136)."""
