@@ -28,6 +28,9 @@ def main(argv=None):
                    help="registry key (baseline, fscl, tacot2u, pr-ssl-*, ...)")
     t.add_argument("--data_config", action="append", required=True)
     t.add_argument("--model_config", default=None)
+    t.add_argument("--train_config", action="append", default=None,
+                   help="train yaml overlays (merged in order)")
+    t.add_argument("--algorithm_config", default=None)
     t.add_argument("--exp_dir", default="output/exp")
     t.add_argument("--total_step", type=int, default=None)
     t.add_argument("--pretrain_ckpt", default=None)

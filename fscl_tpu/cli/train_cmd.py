@@ -10,7 +10,8 @@ def run(args):
 
     from fscl_tpu.core.checkpoint import CheckpointManager
     from fscl_tpu.core.config import (
-        ModelConfig, TrainConfig, model_config_from_yaml, read_data_config,
+        AlgorithmConfig, ModelConfig, TrainConfig, model_config_from_yaml,
+        read_algorithm_config, read_data_config, train_config_from_yaml,
     )
     from fscl_tpu.data.batch import collate_batch
     from fscl_tpu.data.datasets import (
@@ -26,12 +27,18 @@ def run(args):
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/fscl_tpu_jax_cache")
 
+    import dataclasses
+
     data_configs = [read_data_config(p) for p in args.data_config]
     model_cfg = (model_config_from_yaml(args.model_config)
                  if args.model_config else ModelConfig())
-    train_cfg = TrainConfig()
+    train_cfg = (train_config_from_yaml(args.train_config)
+                 if getattr(args, "train_config", None) else TrainConfig())
+    algo_cfg = (read_algorithm_config(args.algorithm_config)
+                if getattr(args, "algorithm_config", None)
+                else AlgorithmConfig(type=args.system))
     if args.total_step:
-        train_cfg = TrainConfig(total_step=args.total_step)
+        train_cfg = dataclasses.replace(train_cfg, total_step=args.total_step)
 
     id2symbols = tuple(
         (dc.symbol_id, len(LANG_ID2SYMBOLS[dc.symbol_id]))
@@ -68,10 +75,10 @@ def run(args):
         labels = []
         for d in datasets:
             labels.extend([d.config.lang_id] * len(d))
-        adapt = None
-        sampler = EpisodicSampler(labels, shots=32, queries=8,
+        shots, queries = algo_cfg.adapt.shots, algo_cfg.adapt.queries
+        sampler = EpisodicSampler(labels, shots=shots, queries=queries,
                                   seed=train_cfg.seed)
-        stream = InfiniteEpisodes(dataset, sampler, 32, 8)
+        stream = InfiniteEpisodes(dataset, sampler, shots, queries)
         batches = lambda: iter(stream)
         example = next(iter(stream))
     else:

@@ -232,6 +232,68 @@ def read_data_config(path: str) -> DataConfig:
     )
 
 
+def read_algorithm_config(path: str) -> AlgorithmConfig:
+    """Load a reference-style config/algorithm/*.yaml (type + adapt block)."""
+    with open(path) as f:
+        raw = yaml.safe_load(f)
+    a = raw.get("adapt", {})
+    adapt = AdaptConfig(
+        ways=a.get("ways", 1),
+        shots=a.get("shots", 32),
+        queries=a.get("queries", 8),
+        adaptation_lr=a.get("adaptation_lr", a.get("lr", 1e-3)),
+        adaptation_steps=a.get("adaptation_steps", a.get("steps", 0)),
+        test_adaptation_steps=a.get("test_adaptation_steps", 20000),
+    )
+    known = {"type", "name", "adapt"}
+    extra = tuple((k, v) for k, v in raw.items() if k not in known
+                  and not isinstance(v, (dict, list)))
+    return AlgorithmConfig(
+        type=raw.get("type", "baseline"),
+        name=raw.get("name", raw.get("type", "baseline")),
+        adapt=adapt, extra=extra,
+    )
+
+
+def train_config_from_yaml(paths) -> TrainConfig:
+    """Merge one or more reference-style config/train/*.yaml overlays
+    (main.py:351-357 merges multiple train configs in order)."""
+    if isinstance(paths, str):
+        paths = [paths]
+    raw: Dict[str, Any] = {}
+    for p in paths:
+        with open(p) as f:
+            overlay = yaml.safe_load(f) or {}
+        for k, v in overlay.items():
+            if isinstance(v, dict) and isinstance(raw.get(k), dict):
+                raw[k].update(v)
+            else:
+                raw[k] = v
+    o = raw.get("optimizer", {})
+    optim = OptimConfig(
+        batch_size=o.get("batch_size", 8),
+        lr=o.get("lr", 1e-3),
+        betas=tuple(o.get("betas", (0.9, 0.98))),
+        eps=o.get("eps", 1e-9),
+        weight_decay=o.get("weight_decay", 0.0),
+        grad_clip_thresh=o.get("grad_clip_thresh", 1.0),
+        grad_acc_step=o.get("grad_acc_step", 1),
+        warmup_step=o.get("warm_up_step", o.get("warmup_step", 4000)),
+        anneal_steps=tuple(o.get("anneal_steps", (30000, 40000, 50000))),
+        anneal_rate=o.get("anneal_rate", 0.3),
+        scheduler=o.get("scheduler_type", "sqrt"),
+    )
+    return TrainConfig(
+        optim=optim,
+        total_step=raw.get("total_step", 50000),
+        log_step=raw.get("log_step", 100),
+        synth_step=raw.get("synth_step", 1000),
+        val_step=raw.get("val_step", 1000),
+        save_step=raw.get("save_step", 1000),
+        seed=raw.get("seed", 43),
+    )
+
+
 def _as_tuple(x):
     if isinstance(x, (list, tuple)):
         return tuple(_as_tuple(i) for i in x)
