@@ -46,20 +46,35 @@ def prepare_initial_features(store: FeatureStore, query, wav_path: str,
     store.text.save(text, query)
 
 
+_WAV_BUCKETS = tuple(22050 * s for s in (2, 4, 6, 8, 10, 12, 15, 20))
+_mel_fns = {}
+
+
 def mel_energy_from_wav(wav: np.ndarray, audio: AudioConfig):
-    """Device-jitted log-mel + energy (ops.stft)."""
+    """Device-jitted log-mel + energy (ops.stft).
+
+    Wav lengths are padded to buckets so XLA compiles once per bucket, not
+    once per utterance length; padded frames are sliced off after.
+    """
     import jax
     import jax.numpy as jnp
 
+    from fscl_tpu.data.batch import bucket_len
     from fscl_tpu.ops.stft import mel_spectrogram
 
-    mel, energy = jax.jit(
-        lambda w: mel_spectrogram(
+    n = len(wav)
+    n_frames = 1 + n // audio.hop_length
+    padded_len = bucket_len(n, _WAV_BUCKETS)
+    key = (padded_len, audio)
+    if key not in _mel_fns:
+        _mel_fns[key] = jax.jit(lambda w: mel_spectrogram(
             w, sr=audio.sampling_rate, n_fft=audio.n_fft,
             hop_length=audio.hop_length, win_length=audio.win_length,
-            n_mels=audio.n_mels, fmin=audio.mel_fmin, fmax=audio.mel_fmax),
-    )(jnp.asarray(wav))
-    return np.asarray(mel), np.asarray(energy)
+            n_mels=audio.n_mels, fmin=audio.mel_fmin, fmax=audio.mel_fmax))
+    padded = np.zeros(padded_len, np.float32)
+    padded[:n] = wav
+    mel, energy = _mel_fns[key](jnp.asarray(padded))
+    return np.asarray(mel)[:n_frames], np.asarray(energy)[:n_frames]
 
 
 def dvec_mel_slices(wav16: np.ndarray) -> np.ndarray:

@@ -59,8 +59,9 @@ class HiFiGANGenerator(nn.Module):
                                        self.upsample_kernel_sizes)):
             x = _leaky(x)
             ch = self.upsample_initial_channel // (2 ** (i + 1))
-            x = nn.ConvTranspose(ch, (k,), strides=(r,),
-                                 padding=[((k - r) // 2, (k - r) // 2)],
+            # SAME == torch ConvTranspose1d(padding=(k-r)//2): exact output
+            # length in*r and bit-identical values (verified vs torch)
+            x = nn.ConvTranspose(ch, (k,), strides=(r,), padding="SAME",
                                  transpose_kernel=True,
                                  name=f"ups_{i}")(x)
             acc = None
