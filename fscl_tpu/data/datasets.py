@@ -239,6 +239,7 @@ class UnitDataset:
         return {
             "id": q["basename"],
             "speaker": self.speaker_map[q["spk"]],
+            "speaker_name": q["spk"],
             "text": q["text"],
             "phonemes": text,
             "units": units.astype(np.int64),

@@ -17,7 +17,9 @@ from fscl_tpu.systems.pr import (
     PRBatch, PREpisode, SSLBaselineSystem, SSLClusterSystem, SSLLinearSystem,
     SSLProtoNetSystem,
 )
-from fscl_tpu.systems.ada import ADAEncoder, TransEmbADASystem
+from fscl_tpu.systems.ada import (
+    ADAEncoder, SSLEpisode, TransEmbADASystem, TransEmbSSLADASystem,
+)
 from fscl_tpu.systems.conti_ae import (
     ContiAEBatch, ContiAESystem, SemiEpisode, SemiTransEmbSystem,
 )

@@ -15,7 +15,7 @@ No forward hooks needed: FastSpeech2Output carries `decoder_input`, and
 """
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import flax.linen as nn
 import jax
@@ -76,13 +76,16 @@ class TransEmbADASystem(TransEmbSystem):
         self.ada_stage = ada_stage
         self.ada_encoder = ADAEncoder(self.model_cfg)
 
+    def _ada_input(self, episode: "Episode"):
+        """What the ADA encoder consumes: target mels (mel variant)."""
+        qry = episode.qry
+        return qry.mels, length_mask(qry.mel_lens, qry.mels.shape[1])
+
     def init_variables(self, rng, episode: Episode) -> Dict[str, Any]:
         variables = super().init_variables(rng, episode)
-        qry = episode.qry
-        mel_valid = length_mask(
-            jnp.asarray(qry.mel_lens), qry.mels.shape[1])
+        ada_in, ada_valid = self._ada_input(episode)
         ada_vars = self.ada_encoder.init(
-            jax.random.fold_in(rng, 7), jnp.asarray(qry.mels), mel_valid)
+            jax.random.fold_in(rng, 7), jnp.asarray(ada_in), ada_valid)
         variables["params"]["ada"] = ada_vars["params"]
         return variables
 
@@ -114,8 +117,9 @@ class TransEmbADASystem(TransEmbSystem):
 
         rngs = ({"dropout": jax.random.fold_in(rng, 1)}
                 if train and rng is not None else None)
+        ada_in, ada_valid = self._ada_input(episode)
         feat = self.ada_encoder.apply(
-            {"params": params["ada"]}, qry.mels, mel_valid,
+            {"params": params["ada"]}, ada_in, ada_valid,
             not (train and rng is not None), rngs=rngs)
         match_loss = masked_mean((feat - hooked) ** 2, out.mel_valid)
 
@@ -137,9 +141,41 @@ class TransEmbADASystem(TransEmbSystem):
                          train):
         metrics = self.common_ada_step(params, batch_stats, episode, rng,
                                        train)
+        return self._total_from_metrics(metrics)
+
+    def _total_from_metrics(self, metrics):
         if self.ada_stage == "matching":
             total = metrics["Recon Loss"] + metrics["Match Loss"]
         else:
             total = metrics["Recon Loss"]
         metrics["Total Loss"] = total
         return total, (metrics, None)
+
+
+class SSLEpisode(NamedTuple):
+    """FSCL episode + raw query speech for the SSL-ADA variant
+    (ssl_ada_class_factory's qry_info, TransEmbADA.py:130-170)."""
+    sup: Any
+    qry: Any
+    qry_wavs: Any = None       # (B, T_wav) 16 kHz
+    qry_wav_lens: Any = None
+    sup_batch: Any = None
+
+
+@SYSTEMS.register("fscl-ssl_ada", "fscl-ssl_ada1", "fscl-ssl_ada2")
+class TransEmbSSLADASystem(TransEmbADASystem):
+    """ADA encoder consumes SSL features of the untranscribed query speech
+    (interpolated to mel length) instead of mels."""
+
+    def __init__(self, *args, ssl_layer_idx: int = 0, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.ssl_layer_idx = ssl_layer_idx
+
+    def _ada_input(self, episode):
+        from fscl_tpu.systems.conti_ae import interpolate_frames
+        qry = episode.qry
+        hidden, _ = self.extract_ssl(
+            jnp.asarray(episode.qry_wavs), jnp.asarray(episode.qry_wav_lens))
+        feat = hidden[:, :, self.ssl_layer_idx]
+        feat = interpolate_frames(feat, qry.mels.shape[1])
+        return feat, length_mask(qry.mel_lens, qry.mels.shape[1])

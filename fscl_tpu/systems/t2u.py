@@ -330,22 +330,3 @@ class DA(nn.Module):
     def __call__(self, unit_probs, valid=None):
         x = GradientReversal(self.scale, name="grl")(unit_probs)
         return UnitDiscriminator(self.n_units, name="discriminator")(x, valid)
-
-
-def e2e_u2s_forward(u2s_system, u2s_params, u2s_batch_stats, t2u_logits,
-                    qry: Batch, max_mel_len: int):
-    """E2E chain (TransEmbE2ETune.py:169-193): soft unit distribution times
-    the frozen u2s system's unit-embedding table, then u2s FastSpeech2."""
-    probs = jax.nn.softmax(t2u_logits, axis=-1)
-    table = list(u2s_params["embedding"].values())[0]     # unit table
-    emb = jnp.einsum("btu,ud->btd", probs, table,
-                     preferred_element_type=jnp.float32)
-    model_vars = {"params": u2s_params["model"]}
-    if u2s_batch_stats is not None:
-        model_vars["batch_stats"] = u2s_batch_stats["model"]
-    return u2s_system.model.apply(
-        model_vars, emb, qry.src_lens, max_mel_len,
-        speaker_args=qry.speaker_args, mel_lens=qry.mel_lens,
-        p_targets=qry.pitches, e_targets=qry.energies,
-        d_targets=qry.durations, lang_args=qry.lang_ids,
-    )

@@ -77,6 +77,21 @@ def test_ada_system(stage):
         assert all(jax.tree_util.tree_leaves(frozen))
 
 
+def test_ssl_ada_system():
+    from fscl_tpu.systems.ada import SSLEpisode, TransEmbSSLADASystem
+    rng = np.random.default_rng(5)
+    episode = SSLEpisode(
+        sup=make_sup(rng), qry=make_batch(rng),
+        qry_wavs=rng.normal(size=(2, 8000)).astype(np.float32),
+        qry_wav_lens=np.full((2,), 8000, np.int32))
+    system = TransEmbSSLADASystem(CFG, OptimConfig(), N_SYM, upstream=TINY,
+                                  ada_stage="matching", ssl_layer_idx=1)
+    state = system.init_state(jax.random.PRNGKey(0), episode)
+    state, metrics = jax.jit(system.train_step)(
+        state, episode, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["Total Loss"]))
+
+
 def test_conti_ae():
     from fscl_tpu.systems.conti_ae import ContiAEBatch, ContiAESystem
     rng = np.random.default_rng(1)
