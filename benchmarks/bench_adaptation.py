@@ -47,9 +47,9 @@ def main(n_steps: int = 200, B: int = 4, L: int = 64, T: int = 256):
     state = system.init_state(jax.random.PRNGKey(0), mk(0))
     batches = [mk(i) for i in range(n_steps)]
 
-    # warm-up compile with 2 steps
+    # warm-up compile with the SAME scan length, then time the cached run
     adapted, losses = adapt_on_chip(
-        system, state.params, state.batch_stats, batches[:2], lr=1e-4)
+        system, state.params, state.batch_stats, batches, lr=1e-4)
     jax.block_until_ready(losses)
 
     t0 = time.time()

@@ -95,7 +95,8 @@ def test_fscl_t2u_episode():
         phonemes=rng.integers(1, n_sym, (2, L)).astype(np.int32),
         n_symbols=n_sym,
     )
-    qry = __import__("fscl_tpu.systems.t2u", fromlist=["T2UBatch"]).T2UBatch(
+    from fscl_tpu.systems.t2u import T2UBatch
+    qry = T2UBatch(
         speaker_args=np.zeros(B, np.int32),
         texts=rng.integers(1, n_sym, (B, L)).astype(np.int32),
         src_lens=np.full((B,), L, np.int32),
