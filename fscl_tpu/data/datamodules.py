@@ -59,13 +59,25 @@ class FastSpeech2DataModule(BaseDataModule):
         self.val_set = ConcatDataset(val) if val else None
 
     def train_batches(self) -> Iterator[Batch]:
-        rng = np.random.default_rng(self.train_cfg.seed)
+        """Infinite epochs of length-grouped batches (GroupBatchSampler,
+        lightning/sampler.py semantics — near-equal lengths per batch so
+        bucketed padding wastes little)."""
+        from fscl_tpu.data.samplers import GroupBatchSampler
         bs = self.train_cfg.optim.batch_size
-        n = len(self.train_set)
+        # approximate lengths from split-txt phoneme strings (no feature IO)
+        lengths = []
+        for ds in self.train_set.datasets:
+            lengths.extend(
+                len(q["phonemes"].strip("{}").split()) for q in ds.queries)
+        epoch = 0
         while True:
-            idxs = rng.integers(0, n, bs)
-            _, batch = collate_batch([self.train_set[int(i)] for i in idxs])
-            yield batch
+            sampler = GroupBatchSampler(
+                lengths, bs, seed=self.train_cfg.seed + epoch)
+            for idxs in sampler:
+                _, batch = collate_batch(
+                    [self.train_set[int(i)] for i in idxs])
+                yield batch
+            epoch += 1
 
     def val_batches(self) -> List[Batch]:
         if self.val_set is None:

@@ -117,6 +117,25 @@ def get_or_create_tasks(sampler: EpisodicSampler, n_tasks_per_label: int,
     return tasks
 
 
+def build_sqids(tasks: List[List[int]], sample_ids: Sequence[str],
+                path: Optional[str] = None):
+    """SQids2Tid mapping: "<sample ids joined>" -> task id, used to key
+    per-task CSV artifacts (datamodules/utils.py:12-76 get_SQids2Tid /
+    SQids.json). Persisted for reproducible few-shot eval bookkeeping."""
+    sqids = []
+    sqids2tid: Dict[str, str] = {}
+    for t, idxs in enumerate(tasks):
+        ids = [sample_ids[i] for i in idxs]
+        sqids.append(ids)
+        sqids2tid[",".join(ids)] = f"tid-{t}"
+    if path:
+        os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+        with open(path, "w", encoding="utf-8") as f:
+            json.dump({"SQids": sqids, "SQids2Tid": sqids2tid}, f,
+                      ensure_ascii=False, indent=2)
+    return sqids2tid
+
+
 WAV_BUCKETS = (16000 * 4, 16000 * 8, 16000 * 12, 16000 * 16)
 
 
