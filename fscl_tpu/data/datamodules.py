@@ -229,6 +229,60 @@ class PRDataModule(BaseDataModule):
             )
 
 
+@DATAMODULES.register("pr-ssl-protonet", "pr-fscl")
+class PREpisodicDataModule(BaseDataModule):
+    """Episodic PR loader for protonet/PR-FSCL (phoneme_recognition
+    FSCLDataModule): label-grouped K+Q episodes of PR samples with the
+    coverage-constrained support/query split."""
+
+    def __init__(self, *args, shots: int = 4, queries: int = 2, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.shots = shots
+        self.queries = queries
+
+    def setup(self):
+        from fscl_tpu.data.datasets import PRDataset
+        self.datasets = []
+        for dc in self.data_configs:
+            path = dc.subset_path("train")
+            if path and os.path.isfile(path):
+                self.datasets.append(
+                    (dc, PRDataset(path, self.stores[dc.name], dc)))
+
+    def _collate_pr(self, dc, samples):
+        from fscl_tpu.data.batch import TEXT_BUCKETS, bucket_len, pad_1d
+        from fscl_tpu.data.episodic import WAV_BUCKETS
+        from fscl_tpu.frontend import n_symbols as n_sym_of
+        from fscl_tpu.systems.pr import PRBatch
+        L = bucket_len(max(len(s["phonemes"]) for s in samples), TEXT_BUCKETS)
+        W = bucket_len(max(len(s["wav"]) for s in samples), WAV_BUCKETS)
+        return PRBatch(
+            wavs=pad_1d([s["wav"] for s in samples], W, dtype=np.float32),
+            wav_lens=np.array([min(len(s["wav"]), W) for s in samples],
+                              np.int32),
+            avg_frames=pad_1d([s["avg_frames"] for s in samples], L,
+                              dtype=np.int32),
+            phonemes=pad_1d([s["phonemes"] for s in samples], L,
+                            dtype=np.int32),
+            lang_ids=np.array([s["lang_id"] for s in samples], np.int32),
+            n_symbols=n_sym_of(dc.symbol_id),
+            symbol_id=dc.symbol_id,
+        )
+
+    def train_batches(self):
+        from fscl_tpu.data.episodic import split_sup_qry
+        from fscl_tpu.systems.pr import PREpisode
+        rng = np.random.default_rng(self.train_cfg.seed)
+        k = self.shots + self.queries
+        while True:
+            dc, ds = self.datasets[int(rng.integers(0, len(self.datasets)))]
+            samples = [ds[int(i)] for i in rng.integers(0, len(ds), k)]
+            sup_ids, qry_ids = split_sup_qry(samples, self.shots, self.queries)
+            yield PREpisode(
+                sup=self._collate_pr(dc, [samples[i] for i in sup_ids]),
+                qry=self._collate_pr(dc, [samples[i] for i in qry_ids]))
+
+
 def get_datamodule(algorithm_type: str):
     """(lightning/datamodules/__init__.py:49-50)."""
     return DATAMODULES.get(algorithm_type)
