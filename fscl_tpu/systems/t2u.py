@@ -216,7 +216,7 @@ class TransEmbT2USystem(System):
         return loss, ({"Total Loss": loss, "Acc": acc}, new_bs)
 
 
-@SYSTEMS.register("fscl-t2u-c")
+@SYSTEMS.register("fscl-t2u-c", "fscl-t2u-codebook")
 class TransEmbCT2USystem(TransEmbT2USystem):
     """TransEmbC (t2u/TransEmbC.py:25-90): embedding generator is
     Downstream2 (codeformer last layer) instead of Downstream1."""
@@ -245,7 +245,7 @@ class TransEmbCT2USystem(TransEmbT2USystem):
             x, sup.avg_frames, sup.phonemes, sup.n_symbols)[0, :, 0]
 
 
-@SYSTEMS.register("fscl-t2u-c2")
+@SYSTEMS.register("fscl-t2u-c2", "fscl-t2u-codebook2")
 class TransEmbC2T2USystem(TransEmbT2USystem):
     """TransEmbC2 (t2u/TransEmbC2.py:25-80): Downstream1 features, then a
     codebook attention over the extracted phoneme queries."""

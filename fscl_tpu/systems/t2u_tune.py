@@ -85,13 +85,21 @@ def t2u_tune_init(
     return out
 
 
+@SYSTEMS.register("fscl-t2u-tune", "fscl-t2u-orig-tune")
+class T2UTuneSystem(TacoT2USystem):
+    """Plain few-shot T2U fine-tuning (TransEmbTune/TransEmbOrigTune): after
+    the `t2u_tune_init` embedding transplant, training is ordinary
+    supervised TacoT2U on the few-shot split."""
+
+
 class E2EBatch(NamedTuple):
     """Paired t2u + u2s data (T2U2SDataModule CombinedLoader semantics)."""
     t2u: T2UBatch
     u2s: Batch
 
 
-@SYSTEMS.register("fscl-t2u-e2e-tune")
+@SYSTEMS.register("fscl-t2u-e2e-tune", "fscl-t2u-orig-e2e-tune",
+                  "fscl-t2u-c-e2e-tune", "fscl-t2u-c2-e2e-tune")
 class E2ETuneSystem(TacoT2USystem):
     """T2U fine-tuning chained through a FROZEN u2s BaselineSystem."""
 
@@ -163,7 +171,8 @@ class DAE2EBatch(NamedTuple):
     real_unit_lens: np.ndarray
 
 
-@SYSTEMS.register("fscl-t2u-dae2e-tune")
+@SYSTEMS.register("fscl-t2u-dae2e-tune", "fscl-t2u-da-e2e-tune",
+                  "fscl-t2u-c-da-e2e-tune", "fscl-t2u-c2-da-e2e-tune")
 class DAE2ETuneSystem(E2ETuneSystem):
     """E2E chain + gradient-reversal unit discriminator
     (TransEmbDAE2ETune.py): Total = T2U + U2S + DA."""

@@ -29,6 +29,17 @@ from fscl_tpu.systems.fscl import TransEmbSystem, transplant_embedding
 from fscl_tpu.systems.maml import fast_adaptation_scan
 
 
+from fscl_tpu.core.registry import SYSTEMS
+
+
+@SYSTEMS.register("fscl-orig-tune", "fscl-tune")
+class TransEmbTuneSystem(BaselineSystem):
+    """Few-shot transfer (tune/FastSpeech2Tune.py:27-111): after `tune_init`
+    transplants the generated table, training is ordinary supervised
+    FastSpeech2 with ALL params optimized (build_optimized_model returns
+    [model, embedding_model], language/FastSpeech2.py:46-47)."""
+
+
 def build_reference_table(
     fscl: TransEmbSystem,
     fscl_params: Dict[str, Any],
