@@ -11,7 +11,7 @@ Re-design of lightning/systems/language/embeddings.py:
 from __future__ import annotations
 
 import math
-from typing import Dict, Optional, Tuple
+from typing import Optional, Tuple
 
 import flax.linen as nn
 import jax

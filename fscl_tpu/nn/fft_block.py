@@ -9,7 +9,7 @@ XLA maps straight onto the MXU — no transpose round-trips.
 """
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp

@@ -13,8 +13,6 @@ Re-provides lightning/model/speaker_encoder.py:15-167:
 """
 from __future__ import annotations
 
-from typing import Optional
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp

@@ -7,7 +7,7 @@ from the global normalization stats (modules.py:41-75).
 """
 from __future__ import annotations
 
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -16,7 +16,7 @@ import numpy as np
 from fscl_tpu.core.config import ModelConfig
 from fscl_tpu.core.stats import GlobalStats
 from fscl_tpu.ops.length_regulator import regulate_lengths
-from fscl_tpu.ops.masking import length_mask, mask_fill
+from fscl_tpu.ops.masking import length_mask
 
 
 def variance_bins(stats: GlobalStats, cfg: ModelConfig) -> tuple:

@@ -14,8 +14,6 @@ scatter-adds over statically-shaped tensors:
 """
 from __future__ import annotations
 
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 

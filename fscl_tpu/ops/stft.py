@@ -10,7 +10,7 @@ preprocessing and on-the-fly "mel upstream" features run on TPU.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
