@@ -1,0 +1,96 @@
+"""Protonet / PR few-shot evaluation orchestration.
+
+Re-provides evaluation/protonet.py:28-217 (and the baseline.py / linear.py
+harnesses): load a PR system checkpoint, walk the generated few-shot task
+dirs (`<N>-shot/task-<i>/`), build prototypes from each task's support
+split, transcribe the query split (argmax/DPDP decoding), and dump per-task
+transcription jsons consumable by `fscl_tpu evaluate` (PER/FER).
+"""
+from __future__ import annotations
+
+import glob
+import os
+from typing import Callable, Dict, List, Optional
+
+import numpy as np
+
+from fscl_tpu.core.config import DataConfig, ModelConfig, read_data_config
+from fscl_tpu.data.datasets import PRDataset
+from fscl_tpu.data.feature_store import FeatureStore
+from fscl_tpu.eval.drivers import dump_task_results, evaluate_pr_task
+from fscl_tpu.frontend import LANG_ID2SYMBOLS
+
+
+def _pr_batch_from_samples(samples, symbol_id: str, n_symbols: int):
+    from fscl_tpu.data.batch import TEXT_BUCKETS, bucket_len, pad_1d
+    from fscl_tpu.data.episodic import WAV_BUCKETS
+    from fscl_tpu.systems.pr import PRBatch
+    L = bucket_len(max(len(s["phonemes"]) for s in samples), TEXT_BUCKETS)
+    W = bucket_len(max(len(s["wav"]) for s in samples), WAV_BUCKETS)
+    return PRBatch(
+        wavs=pad_1d([s["wav"] for s in samples], W, dtype=np.float32),
+        wav_lens=np.array([min(len(s["wav"]), W) for s in samples], np.int32),
+        avg_frames=pad_1d([s["avg_frames"] for s in samples], L,
+                          dtype=np.int32),
+        phonemes=pad_1d([s["phonemes"] for s in samples], L, dtype=np.int32),
+        lang_ids=np.array([s["lang_id"] for s in samples], np.int32),
+        n_symbols=n_symbols, symbol_id=symbol_id)
+
+
+def run_protonet_eval(
+    system,                      # SSLProtoNetSystem (init_upstream done)
+    params,
+    task_root: str,              # .../<N>-shot directory of task-<i> dirs
+    output_dir: str,
+    use_dpdp: bool = True,
+    lam: float = 0.0,
+    batch_size: int = 4,
+) -> List[str]:
+    """Zero-shot protonet transcription over every task dir; returns the
+    dumped json paths. Few-shot variants fine-tune `params` per task first
+    (systems.tune.adapt_on_chip) and then call this."""
+    out_paths = []
+    for task_dir in sorted(glob.glob(os.path.join(task_root, "task-*"))):
+        dc = read_data_config(os.path.join(task_dir, "config.yaml"))
+        store = FeatureStore(dc.data_dir)
+        id2symbol = {i: s.lstrip("@") for i, s in
+                     enumerate(LANG_ID2SYMBOLS[dc.symbol_id])}
+        n_symbols = len(LANG_ID2SYMBOLS[dc.symbol_id])
+
+        sup_ds = PRDataset(os.path.join(task_dir, "train.txt"), store, dc)
+        qry_ds = PRDataset(os.path.join(task_dir, "val.txt"), store, dc)
+
+        # prototypes from the whole support split (batched accumulation
+        # through the downstream + frame-level class means)
+        import jax.numpy as jnp
+        proto_sums = proto_counts = None
+        for start in range(0, len(sup_ds), batch_size):
+            samples = [sup_ds[i]
+                       for i in range(start, min(start + batch_size,
+                                                 len(sup_ds)))]
+            batch = _pr_batch_from_samples(samples, dc.symbol_id, n_symbols)
+            protos = system.build_prototypes(params, batch)
+            counts = np.zeros(n_symbols)
+            for s in samples:
+                for p, d in zip(s["phonemes"], s["avg_frames"]):
+                    if d > 0:
+                        counts[int(p)] += d
+            w = np.asarray(protos) * counts[:, None]
+            proto_sums = w if proto_sums is None else proto_sums + w
+            proto_counts = counts if proto_counts is None else \
+                proto_counts + counts
+        protos = proto_sums / np.maximum(proto_counts, 1.0)[:, None]
+        protos = jnp.asarray(protos)
+
+        def predict_logits(sample):
+            batch = _pr_batch_from_samples([sample], dc.symbol_id, n_symbols)
+            logits = system.classify(params, protos, batch)
+            n_frames = int(np.sum(sample["avg_frames"]))
+            return np.asarray(logits)[0, :n_frames]
+
+        infos = evaluate_pr_task(
+            predict_logits, [qry_ds[i] for i in range(len(qry_ds))],
+            id2symbol, use_dpdp=use_dpdp, lam=lam)
+        out_paths.append(dump_task_results(
+            infos, output_dir, os.path.basename(task_dir)))
+    return out_paths
