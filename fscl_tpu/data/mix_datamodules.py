@@ -87,6 +87,48 @@ class T2U2SDataModule(BaseDataModule):
             yield E2EBatch(t2u=t2u, u2s=u2s)
 
 
+@DATAMODULES.register("fscl-t2u-episodic", "fscl-t2u-orig-episodic")
+class T2UEpisodicDataModule(BaseDataModule):
+    """Episodic T2U loader (t2u FSCLDataModule over FSCLdataset.py:64-117):
+    episodes of (support raw speech + query text->unit batches) with the
+    coverage-constrained split on the t2u phoneme texts."""
+
+    def __init__(self, *args, shots: int = 4, queries: int = 2,
+                 upstream: str = "hubert_large_ll60k", **kwargs):
+        super().__init__(*args, **kwargs)
+        self.shots = shots
+        self.queries = queries
+        self.upstream = upstream
+
+    def setup(self):
+        from fscl_tpu.data.datasets import FSCLDataset, UnitDataset
+        self.pairs = []
+        for dc in self.data_configs:
+            path = dc.subset_path("train")
+            if not (path and os.path.isfile(path) and dc.unit_name):
+                continue
+            fscl_ds = FSCLDataset(path, self.stores[dc.name], dc,
+                                  self.model_cfg, upstream=self.upstream)
+            unit_ds = UnitDataset(path, self.stores[dc.name], dc)
+            self.pairs.append((dc, fscl_ds, unit_ds))
+
+    def train_batches(self):
+        from fscl_tpu.data.episodic import collate_sup_info, split_sup_qry
+        from fscl_tpu.systems.t2u import T2UEpisode
+        rng = np.random.default_rng(self.train_cfg.seed)
+        k = self.shots + self.queries
+        while True:
+            dc, fscl_ds, unit_ds = self.pairs[
+                int(rng.integers(0, len(self.pairs)))]
+            idxs = rng.integers(0, len(fscl_ds), k)
+            fscl_samples = [fscl_ds[int(i)] for i in idxs]
+            sup_ids, qry_ids = split_sup_qry(
+                fscl_samples, self.shots, self.queries)
+            sup = collate_sup_info([fscl_samples[i] for i in sup_ids])
+            qry = _collate_t2u([unit_ds[int(idxs[i])] for i in qry_ids])
+            yield T2UEpisode(sup=sup, qry=qry)
+
+
 @DATAMODULES.register("fscl-t2u-da-tune")
 class T2UDADataModule(BaseDataModule):
     """t2u stream + independent real-unit stream for the discriminator

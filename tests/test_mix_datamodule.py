@@ -59,6 +59,36 @@ def test_t2u2s_datamodule(unit_corpus):
     assert batch.u2s.durations.sum(1).max() <= batch.u2s.mels.shape[1]
 
 
+def test_t2u_episodic_datamodule(unit_corpus, tmp_path):
+    import numpy as np
+    from fscl_tpu.data.mix_datamodules import T2UEpisodicDataModule
+    store, dc = unit_corpus
+    # FSCLDataset needs acoustic + SSL inputs for the support set
+    rng = np.random.default_rng(1)
+    for q in [{"spk": "s0", "basename": f"u{i}"} for i in range(6)]:
+        n_ph = 3
+        dur = np.array([4, 3, 5], np.int64)
+        store.mfa_duration.save(dur, q)
+        store.mfa_duration_avg_pitch.save(
+            rng.normal(size=n_ph).astype(np.float32), q)
+        store.mfa_duration_avg_energy.save(
+            rng.normal(size=n_ph).astype(np.float32), q)
+        total = int(dur.sum())
+        store.mel.save(rng.normal(size=(total, 80)).astype(np.float32), q)
+        store.wav_trim_16000.save(
+            rng.normal(size=8000).astype(np.float32), q)
+        store.mfa_segment.save(
+            [[0.0, 0.1], [0.1, 0.2], [0.2, 0.3]], q)
+    store.flush()
+    dm = T2UEpisodicDataModule(
+        [dc], ModelConfig(), TrainConfig(optim=OptimConfig(batch_size=1)),
+        shots=3, queries=2, upstream="tiny")
+    dm.setup()
+    episode = next(dm.train_batches())
+    assert episode.sup.wavs.shape[0] == 3
+    assert episode.qry.units.shape[0] == 2
+
+
 def test_da_datamodule(unit_corpus):
     from fscl_tpu.data.mix_datamodules import T2UDADataModule
     store, dc = unit_corpus
