@@ -100,9 +100,13 @@ class T2UEncoder(nn.Module):
             x = nn.Dropout(0.5)(x, deterministic=deterministic)
             x = jnp.where(src_valid[..., None], x, 0.0)
         half = c.encoder_embedding_dim // 2
-        fwd = nn.RNN(nn.OptimizedLSTMCell(half), name="lstm_fwd")(x)
+        # seq_lengths keeps the backward direction off the pad frames
+        # (pack_padded_sequence parity, tacot2u_model.py:137-144)
+        seq_lengths = jnp.sum(src_valid.astype(jnp.int32), axis=-1)
+        fwd = nn.RNN(nn.OptimizedLSTMCell(half), name="lstm_fwd")(
+            x, seq_lengths=seq_lengths)
         bwd = nn.RNN(nn.OptimizedLSTMCell(half), name="lstm_bwd", reverse=True,
-                     keep_order=True)(x)
+                     keep_order=True)(x, seq_lengths=seq_lengths)
         out = jnp.concatenate([fwd, bwd], axis=-1)
         return jnp.where(src_valid[..., None], out, 0.0)
 

@@ -63,10 +63,14 @@ class BiLSTMDownstream(nn.Module):
                              name="weighted_sum")(reprs)
         x = nn.Dense(self.d_out, name="proj")(x)
         half = self.d_out // 2
+        seq_lengths = (jnp.sum(valid.astype(jnp.int32), axis=-1)
+                       if valid is not None else None)
         for i in range(2):
-            fwd = nn.RNN(nn.OptimizedLSTMCell(half), name=f"lstm_{i}_fwd")(x)
+            fwd = nn.RNN(nn.OptimizedLSTMCell(half), name=f"lstm_{i}_fwd")(
+                x, seq_lengths=seq_lengths)
             bwd = nn.RNN(nn.OptimizedLSTMCell(half), name=f"lstm_{i}_bwd",
-                         reverse=True, keep_order=True)(x)
+                         reverse=True, keep_order=True)(
+                x, seq_lengths=seq_lengths)
             x = jnp.concatenate([fwd, bwd], axis=-1)
             if valid is not None:
                 x = mask_fill(x, valid)
