@@ -21,13 +21,14 @@ from fscl_tpu.obs.loggers import Callback
 class SynthSaver(Callback):
     def __init__(self, result_dir: str, system, vocoder=None,
                  stats: GlobalStats = DEFAULT_STATS, sample_rate: int = 22050,
-                 synth_step: int = 1000):
+                 synth_step: int = 1000, write_audio: bool = True):
         self.result_dir = result_dir
         self.system = system
         self.vocoder = vocoder
         self.stats = stats
         self.sample_rate = sample_rate
         self.synth_step = synth_step
+        self.write_audio = write_audio
         os.makedirs(result_dir, exist_ok=True)
 
     def _vocode(self, mel: np.ndarray) -> np.ndarray:
@@ -64,7 +65,8 @@ class SynthSaver(Callback):
         self.save_sample(
             step, "recon", np.asarray(out.postnet_mel)[0, :n],
             pitch=np.asarray(batch.pitches)[0],
-            energy=np.asarray(batch.energies)[0])
+            energy=np.asarray(batch.energies)[0],
+            write_audio=self.write_audio)
         synth = self.system.synthesize(
             state.params, state.batch_stats,
             jnp.asarray(batch.texts[:1]), jnp.asarray(batch.src_lens[:1]),
@@ -74,4 +76,5 @@ class SynthSaver(Callback):
         self.save_sample(
             step, "synth", np.asarray(synth.postnet_mel)[0, :max(m, 1)],
             pitch=np.asarray(synth.pitch_prediction)[0],
-            energy=np.asarray(synth.energy_prediction)[0])
+            energy=np.asarray(synth.energy_prediction)[0],
+            write_audio=self.write_audio)

@@ -108,7 +108,10 @@ class Trainer:
 
             if val_loader is not None and step % self.cfg.val_step == 0:
                 agg: Dict[str, list] = {}
+                first_vb = None
                 for vb in val_loader():
+                    if first_vb is None:
+                        first_vb = vb
                     rng, sub = jax.random.split(rng)
                     if self.mesh is not None:
                         vb = place_batch(vb, self.mesh)
@@ -118,6 +121,10 @@ class Trainer:
                 val_metrics = {k: float(np.mean(v)) for k, v in agg.items()}
                 for cb in self.callbacks:
                     cb.on_validation(step, val_metrics)
+                    # synth-artifact savers (baseline_saver synth_step path)
+                    hook = getattr(cb, "on_validation_sample", None)
+                    if hook is not None and first_vb is not None:
+                        hook(step, state, first_vb)
 
             if step % self.cfg.save_step == 0:
                 for cb in self.callbacks:

@@ -125,11 +125,18 @@ def test_supervised_training_end_to_end(mini_corpus):
         def on_save(self, step, state):
             pass
 
-    trainer = Trainer(system, train_cfg, callbacks=[Rec()])
+    from fscl_tpu.obs.synth_saver import SynthSaver
+    synth_dir = str(store.root) + "-synth"
+    saver = SynthSaver(synth_dir, system, synth_step=2, write_audio=False)
+    trainer = Trainer(system, train_cfg, callbacks=[Rec(), saver])
     state = trainer.fit(state, batches, val_loader=lambda: dm.val_batches())
     assert int(state.step) == 3
     assert any(isinstance(e, dict) for e in logged)
     assert any(isinstance(e, tuple) and e[0] == "val" for e in logged)
+    # synth saver emitted recon+synth figures at the val step
+    import glob
+    assert glob.glob(os.path.join(synth_dir, "step2-recon.png"))
+    assert glob.glob(os.path.join(synth_dir, "step2-synth.png"))
 
     # synthesis through the trained params
     sample = dm.train_set[0]
