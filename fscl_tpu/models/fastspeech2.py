@@ -69,6 +69,30 @@ class FastSpeech2(nn.Module):
             self.language_emb = LanguageEncoder(
                 cfg.n_languages, t.encoder_hidden, name="language_emb")
 
+    def predict_mel_len(self, emb_texts, src_lens, speaker_args=None,
+                        lang_args=None, average_spk_emb: bool = False,
+                        d_control: float = 1.0):
+        """Pass 1 of bucketed synthesis: predicted total mel frames per
+        sample — encoder + duration predictor only (no length regulation,
+        no decoder), so the caller can pick the smallest adequate static
+        mel bucket for the full pass."""
+        cfg = self.cfg
+        B, L, _ = emb_texts.shape
+        src_valid = length_mask(src_lens, L)
+        x = self.encoder(emb_texts, src_valid, True)
+        if cfg.multi_speaker and speaker_args is not None:
+            spk_emb = self.speaker_emb(speaker_args)
+            if average_spk_emb:
+                spk_emb = jnp.broadcast_to(
+                    jnp.mean(spk_emb, axis=0, keepdims=True), spk_emb.shape)
+            x = x + spk_emb[:, None, :]
+        if cfg.multi_lingual and cfg.use_lang_id and lang_args is not None:
+            x = x + self.language_emb(lang_args)[:, None, :]
+        log_d = self.variance_adaptor.predict_log_durations(x, src_valid)
+        dur = jnp.maximum(jnp.round(jnp.exp(log_d) - 1.0) * d_control, 0.0)
+        dur = jnp.where(src_valid, dur, 0.0)
+        return jnp.sum(dur.astype(jnp.int32), axis=-1)
+
     def decode(self, x, mel_valid, deterministic: bool = True):
         """Decoder -> mel_linear -> postnet residual; standalone entry for
         ADA reconstruction (TransEmbADA.decoder_forard)."""

@@ -79,7 +79,29 @@ class VarianceAdaptor(nn.Module):
     cfg: ModelConfig
     stats: GlobalStats
 
-    @nn.compact
+    def setup(self):
+        cfg = self.cfg
+        vp = cfg.variance_predictor
+        self.duration_predictor = VariancePredictor(
+            vp.filter_size, vp.kernel_size, vp.dropout,
+            name="duration_predictor")
+        self.pitch_predictor = VariancePredictor(
+            vp.filter_size, vp.kernel_size, vp.dropout,
+            name="pitch_predictor")
+        self.energy_predictor = VariancePredictor(
+            vp.filter_size, vp.kernel_size, vp.dropout,
+            name="energy_predictor")
+        n_bins = cfg.variance_embedding.n_bins
+        d_model = cfg.transformer.encoder_hidden
+        self.pitch_embedding = nn.Embed(n_bins, d_model,
+                                        name="pitch_embedding")
+        self.energy_embedding = nn.Embed(n_bins, d_model,
+                                         name="energy_embedding")
+
+    def predict_log_durations(self, x, src_valid, deterministic: bool = True):
+        """Standalone duration prediction (pass 1 of bucketed synthesis)."""
+        return self.duration_predictor(x, src_valid, deterministic)
+
     def __call__(
         self,
         x,                       # (B, L, D)
@@ -95,29 +117,15 @@ class VarianceAdaptor(nn.Module):
         deterministic: bool = True,
     ) -> VarianceAdaptorOutput:
         cfg = self.cfg
-        d_model = cfg.transformer.encoder_hidden
-        n_bins = cfg.variance_embedding.n_bins
         pitch_edges, energy_edges = variance_bins(self.stats, cfg)
         pitch_edges = jnp.asarray(pitch_edges)
         energy_edges = jnp.asarray(energy_edges)
 
-        dur_pred = VariancePredictor(
-            cfg.variance_predictor.filter_size,
-            cfg.variance_predictor.kernel_size,
-            cfg.variance_predictor.dropout, name="duration_predictor",
-        )
-        pit_pred = VariancePredictor(
-            cfg.variance_predictor.filter_size,
-            cfg.variance_predictor.kernel_size,
-            cfg.variance_predictor.dropout, name="pitch_predictor",
-        )
-        ene_pred = VariancePredictor(
-            cfg.variance_predictor.filter_size,
-            cfg.variance_predictor.kernel_size,
-            cfg.variance_predictor.dropout, name="energy_predictor",
-        )
-        pitch_emb_table = nn.Embed(n_bins, d_model, name="pitch_embedding")
-        energy_emb_table = nn.Embed(n_bins, d_model, name="energy_embedding")
+        dur_pred = self.duration_predictor
+        pit_pred = self.pitch_predictor
+        ene_pred = self.energy_predictor
+        pitch_emb_table = self.pitch_embedding
+        energy_emb_table = self.energy_embedding
 
         log_d_prediction = dur_pred(x, src_valid, deterministic)
 

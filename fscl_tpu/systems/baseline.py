@@ -100,6 +100,49 @@ class BaselineSystem(System):
         return losses.total, (losses.as_dict(), new_bs)
 
     # -- inference -----------------------------------------------------------
+    def synthesize_bucketed(self, params, batch_stats, texts, src_lens,
+                            speaker_args, lang_ids,
+                            symbol_id: Optional[str] = None,
+                            mel_buckets=(128, 256, 512, 1000),
+                            **controls):
+        """Two-pass serving synthesis: (1) cheap length prediction (encoder +
+        duration predictor), (2) full synthesis at the smallest static mel
+        bucket covering the batch. Each (L, T) pair compiles once; avoids
+        paying max_seq_len decoder cost for short utterances."""
+        import numpy as np
+
+        from fscl_tpu.models.fastspeech2 import FastSpeech2
+
+        if not hasattr(self, "_len_fns"):
+            self._len_fns = {}
+            self._synth_fns = {}
+        L = texts.shape[1]
+        if L not in self._len_fns:
+            emb_fn = self.embedding_model
+            model = self.model
+
+            def predict_len(params, t, s, sp, lg):
+                emb = emb_fn.apply({"params": params["embedding"]}, t,
+                                   symbol_id)
+                return model.apply(
+                    {"params": params["model"]}, emb, s,
+                    speaker_args=sp, lang_args=lg,
+                    method=FastSpeech2.predict_mel_len)
+
+            self._len_fns[L] = jax.jit(predict_len)
+        mel_len = self._len_fns[L](params, texts, src_lens, speaker_args,
+                                   lang_ids)
+        max_len = int(np.max(np.asarray(mel_len)))
+        T = next((b for b in mel_buckets if max_len <= b), mel_buckets[-1])
+
+        key = (L, T)
+        if key not in self._synth_fns:
+            self._synth_fns[key] = jax.jit(
+                lambda p, bs, t, s, sp, lg: self.synthesize(
+                    p, bs, t, s, T, sp, lg, symbol_id=symbol_id, **controls))
+        return self._synth_fns[key](params, batch_stats, texts, src_lens,
+                                    speaker_args, lang_ids)
+
     def synthesize(self, params, batch_stats, texts, src_lens, max_mel_len,
                    speaker_args, lang_ids, symbol_id: Optional[str] = None,
                    p_control=1.0, e_control=1.0, d_control=1.0):
