@@ -159,9 +159,13 @@ def collate_sup_info(samples: List[dict], bucket: bool = True) -> SupInfo:
 
 
 def collate_episode(samples: List[dict], shots: int, queries: int,
-                    bucket: bool = True, with_sup_batch: bool = False) -> Episode:
+                    bucket: bool = True, with_sup_batch: bool = False,
+                    with_qry_wavs: bool = False):
     """Episode collate (FSCLCollate._collate_fn): coverage split, then
-    (sup_info, qry TTS batch[, sup TTS batch for MAML inner loops])."""
+    (sup_info, qry TTS batch[, sup TTS batch for MAML inner loops]).
+    `with_qry_wavs` additionally attaches the query set's raw speech
+    (FSCLCollate query_info=True path, for the SSL-ADA systems) and returns
+    an SSLEpisode."""
     sup_ids, qry_ids = split_sup_qry(samples, shots, queries)
     sup = collate_sup_info([samples[i] for i in sup_ids], bucket)
     _, qry = collate_batch([samples[i] for i in qry_ids], bucket=bucket)
@@ -169,6 +173,19 @@ def collate_episode(samples: List[dict], shots: int, queries: int,
     if with_sup_batch:
         _, sup_batch = collate_batch([samples[i] for i in sup_ids],
                                      bucket=bucket)
+    if with_qry_wavs:
+        from fscl_tpu.systems.ada import SSLEpisode
+        qry_samples = [samples[i] for i in qry_ids]
+        wav_lens = np.array([len(s["raw_feat"]) for s in qry_samples],
+                            np.int32)
+        T = int(wav_lens.max())
+        if bucket:
+            T = bucket_len(T, WAV_BUCKETS)
+        return SSLEpisode(
+            sup=sup, qry=qry, sup_batch=sup_batch,
+            qry_wavs=pad_1d([s["raw_feat"] for s in qry_samples], T,
+                            dtype=np.float32),
+            qry_wav_lens=np.minimum(wav_lens, T))
     return Episode(sup=sup, qry=qry, sup_batch=sup_batch)
 
 
