@@ -1,0 +1,88 @@
+"""CLI preprocess end-to-end over a fake LJSpeech-layout corpus:
+parse_raw -> preprocess (TextGrids) -> create_dataset."""
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+ENV = {**os.environ, "PYTHONPATH": REPO, "JAX_PLATFORMS": "cpu"}
+
+TG = """File type = "ooTextFile"
+Object class = "TextGrid"
+
+xmin = 0
+xmax = 1.0
+tiers? <exists>
+size = 1
+item []:
+    item [1]:
+        class = "IntervalTier"
+        name = "phones"
+        xmin = 0
+        xmax = 1.0
+        intervals: size = 3
+        intervals [1]:
+            xmin = 0
+            xmax = 0.1
+            text = ""
+        intervals [2]:
+            xmin = 0.1
+            xmax = 0.5
+            text = "HH"
+        intervals [3]:
+            xmin = 0.5
+            xmax = 1.0
+            text = "AY1"
+"""
+
+
+@pytest.mark.slow
+def test_cli_preprocess_ljspeech_layout(tmp_path):
+    from fscl_tpu.dsp.audio_io import save_wav
+
+    corpus = tmp_path / "LJSpeech"
+    (corpus / "wavs").mkdir(parents=True)
+    sr = 22050
+    rng = np.random.default_rng(0)
+    lines = []
+    tg_dir = tmp_path / "tg" / "LJSpeech"
+    tg_dir.mkdir(parents=True)
+    for i in range(3):
+        name = f"LJ001-{i:04d}"
+        t = np.arange(int(sr * 1.2)) / sr
+        wav = (0.4 * np.sin(2 * np.pi * 200 * t)).astype(np.float32)
+        save_wav(str(corpus / "wavs" / f"{name}.wav"), wav, sr)
+        lines.append(f"{name}|Some text {i}|Some text {i}")
+        with open(tg_dir / f"{name}.TextGrid", "w") as f:
+            f.write(TG)
+    (corpus / "metadata.csv").write_text("\n".join(lines) + "\n")
+
+    out = tmp_path / "features"
+    r = subprocess.run(
+        [sys.executable, "-m", "fscl_tpu.cli", "preprocess",
+         str(corpus), str(out), "--parser", "LJSpeech",
+         "--parse_raw", "--preprocess",
+         "--textgrid_dir", str(tmp_path / "tg"),
+         "--create_dataset", "--n_workers", "1"],
+        capture_output=True, text=True, timeout=600, env=ENV, cwd=REPO)
+    assert r.returncode == 0, r.stderr[-800:]
+    assert "[parse_raw] 3 utterances" in r.stdout
+    assert "3/3 ok" in r.stdout
+    assert os.path.isfile(out / "stats.json")
+    assert os.path.isfile(out / "splits" / "train.txt")
+    # feature store readable by the dataset layer
+    from fscl_tpu.core.config import DataConfig, ModelConfig
+    from fscl_tpu.data.datasets import FastSpeech2Dataset
+    from fscl_tpu.data.feature_store import FeatureStore
+    store = FeatureStore(str(out))
+    ds = FastSpeech2Dataset(
+        str(out / "splits" / "train.txt"), store,
+        DataConfig(name="lj", lang_id=0, symbol_id="en",
+                   text_cleaners=("basic_cleaners",)),
+        ModelConfig())
+    sample = ds[0]
+    assert sample["mel"].shape[1] == 80
+    assert len(sample["phonemes"]) == 2
