@@ -125,6 +125,8 @@ class ModelConfig:
     use_lang_id: bool = True   # NOLID kill-switch (reference: Define.py / fastspeech2m.py:98-101)
     # dtype policy: "float32" for parity, "bfloat16" for speed
     compute_dtype: str = "float32"
+    # rematerialize FFT blocks in backward (jax.checkpoint): HBM <-> FLOPs
+    remat: bool = False
 
 
 @dataclass(frozen=True)

@@ -52,13 +52,13 @@ class FastSpeech2(nn.Module):
         self.encoder = Encoder(
             t.encoder_layer, t.encoder_hidden, t.encoder_head,
             t.conv_filter_size, t.conv_kernel_size, t.encoder_dropout,
-            cfg.max_seq_len, name="encoder")
+            cfg.max_seq_len, cfg.remat, name="encoder")
         self.variance_adaptor = VarianceAdaptor(cfg, self.stats,
                                                 name="variance_adaptor")
         self.decoder = Decoder(
             t.decoder_layer, t.decoder_hidden, t.decoder_head,
             t.conv_filter_size, t.conv_kernel_size, t.decoder_dropout,
-            cfg.max_seq_len, name="decoder")
+            cfg.max_seq_len, cfg.remat, name="decoder")
         self.mel_linear = nn.Dense(cfg.audio.n_mels, name="mel_linear")
         self.postnet = PostNet(cfg.audio.n_mels, name="postnet")
         if cfg.multi_speaker:

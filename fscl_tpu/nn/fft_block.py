@@ -109,7 +109,9 @@ class FFTBlock(nn.Module):
 class FFTStack(nn.Module):
     """Shared body of Encoder2 / Decoder (Models.py:103-237): adds sinusoidal
     PE (recomputed statically when L > max_seq_len, replicating the eval-time
-    PE extension) and runs n_layers FFT blocks."""
+    PE extension) and runs n_layers FFT blocks. `remat` rematerializes each
+    block's activations in the backward pass (jax.checkpoint — trades FLOPs
+    for HBM, enabling larger batches/sequences)."""
     n_layers: int
     d_model: int
     n_head: int
@@ -117,6 +119,7 @@ class FFTStack(nn.Module):
     kernel_size: Tuple[int, int] = (9, 1)
     dropout: float = 0.1
     max_seq_len: int = 1000
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, valid, deterministic: bool = True):
@@ -124,11 +127,13 @@ class FFTStack(nn.Module):
         n_pos = max(self.max_seq_len + 1, L)
         pe = jnp.asarray(sinusoid_position_encoding(n_pos, self.d_model))
         x = x + pe[None, :L, :].astype(x.dtype)
+        block_cls = (nn.remat(FFTBlock, static_argnums=(3, 4))
+                     if self.remat else FFTBlock)
         for i in range(self.n_layers):
-            x, _ = FFTBlock(
+            x, _ = block_cls(
                 self.d_model, self.n_head, self.d_inner, self.kernel_size,
                 self.dropout, name=f"layer_{i}",
-            )(x, valid=valid, deterministic=deterministic)
+            )(x, valid, deterministic, False)
         return x
 
 
@@ -143,12 +148,14 @@ class Encoder(nn.Module):
     kernel_size: Tuple[int, int] = (9, 1)
     dropout: float = 0.2
     max_seq_len: int = 1000
+    remat: bool = False
 
     @nn.compact
     def __call__(self, emb_seq, valid, deterministic: bool = True):
         return FFTStack(
             self.n_layers, self.d_model, self.n_head, self.d_inner,
-            self.kernel_size, self.dropout, self.max_seq_len, name="stack",
+            self.kernel_size, self.dropout, self.max_seq_len, self.remat,
+            name="stack",
         )(emb_seq, valid, deterministic)
 
 
@@ -161,12 +168,14 @@ class Decoder(nn.Module):
     kernel_size: Tuple[int, int] = (9, 1)
     dropout: float = 0.2
     max_seq_len: int = 1000
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, valid, deterministic: bool = True):
         return FFTStack(
             self.n_layers, self.d_model, self.n_head, self.d_inner,
-            self.kernel_size, self.dropout, self.max_seq_len, name="stack",
+            self.kernel_size, self.dropout, self.max_seq_len, self.remat,
+            name="stack",
         )(x, valid, deterministic)
 
 
