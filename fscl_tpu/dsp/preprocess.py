@@ -77,15 +77,30 @@ def mel_energy_from_wav(wav: np.ndarray, audio: AudioConfig):
     return np.asarray(mel)[:n_frames], np.asarray(energy)[:n_frames]
 
 
+_DVEC_BUCKETS = tuple(16000 * s for s in (2, 4, 6, 8, 10, 12, 15, 20))
+_dvec_fns = {}
+
+
 def dvec_mel_slices(wav16: np.ndarray) -> np.ndarray:
     """Speaker-reference 40-mel slices (spk_ref_mel_slices feature):
-    resemblyzer-style partial utterances for GE2E averaging."""
-    from fscl_tpu.ops.stft import mel_filterbank, stft_magnitude
+    resemblyzer-style partial utterances for GE2E averaging. The STFT is
+    jitted per wav-length bucket — eager dispatch over the remote-TPU tunnel
+    is catastrophically slow (one round-trip per op)."""
+    import jax
     import jax.numpy as jnp
 
-    mag = np.asarray(stft_magnitude(
-        jnp.asarray(wav16), n_fft=DVEC_WIN, hop_length=DVEC_HOP,
-        win_length=DVEC_WIN))
+    from fscl_tpu.data.batch import bucket_len
+    from fscl_tpu.ops.stft import mel_filterbank, stft_magnitude
+
+    n = len(wav16)
+    padded_len = bucket_len(n, _DVEC_BUCKETS)
+    if padded_len not in _dvec_fns:
+        _dvec_fns[padded_len] = jax.jit(lambda w: stft_magnitude(
+            w, n_fft=DVEC_WIN, hop_length=DVEC_HOP, win_length=DVEC_WIN))
+    padded = np.zeros(padded_len, np.float32)
+    padded[:n] = wav16
+    n_frames = 1 + n // DVEC_HOP
+    mag = np.asarray(_dvec_fns[padded_len](jnp.asarray(padded)))[:n_frames]
     fb = mel_filterbank(DVEC_SR, DVEC_WIN, DVEC_MEL, 0.0, DVEC_SR / 2)
     mel = np.log(np.maximum(mag @ fb.T, 1e-10))
     n = mel.shape[0]
