@@ -248,6 +248,50 @@ class UnitDataset:
         }
 
 
+class ContiAEDataset:
+    """Speech-reconstruction samples for ContiAE (lightning/datasets/
+    language ContiAEDataset): raw 16 kHz wav (SSL input) + target mel."""
+
+    def __init__(self, split_txt: str, store: FeatureStore,
+                 config: DataConfig):
+        self.store = store
+        self.config = config
+        self.queries = read_queries_from_txt(split_txt)
+
+    def __len__(self):
+        return len(self.queries)
+
+    def __getitem__(self, idx: int) -> Dict:
+        q = self.queries[idx]
+        query = {"spk": q["spk"], "basename": q["basename"]}
+        wav = np.asarray(
+            self.store.wav_trim_16000.read_from_query(query)).astype(np.float32)
+        mel = np.asarray(self.store.mel.read_from_query(query))
+        if mel.shape[0] < mel.shape[-1]:
+            pass  # already (T, n_mels)
+        return {
+            "id": q["basename"], "wav": wav,
+            "mel": mel.astype(np.float32),
+            "lang_id": self.config.lang_id,
+        }
+
+
+def collate_conti_ae(samples):
+    """-> systems.conti_ae.ContiAEBatch with bucketed static shapes."""
+    from fscl_tpu.data.batch import MEL_BUCKETS, bucket_len, pad_1d, pad_2d
+    from fscl_tpu.data.episodic import WAV_BUCKETS
+    from fscl_tpu.systems.conti_ae import ContiAEBatch
+    wav_lens = np.array([len(s["wav"]) for s in samples], np.int32)
+    mel_lens = np.array([len(s["mel"]) for s in samples], np.int32)
+    W = bucket_len(int(wav_lens.max()), WAV_BUCKETS)
+    T = bucket_len(int(mel_lens.max()), MEL_BUCKETS)
+    return ContiAEBatch(
+        wavs=pad_1d([s["wav"] for s in samples], W, dtype=np.float32),
+        wav_lens=np.minimum(wav_lens, W),
+        mels=pad_2d([s["mel"] for s in samples], T),
+        mel_lens=np.minimum(mel_lens, T))
+
+
 class PRDataset:
     """Phoneme recognition: SSL input + frame-expanded phoneme labels
     (lightning/datasets/phoneme_recognition/PRDataset.py:13-161)."""
