@@ -136,14 +136,15 @@ def test_masked_mean_equals_masked_select_mean():
     np.testing.assert_allclose(got, want, rtol=1e-6)
 
 
-def test_attention_xla_vs_pallas_interpret():
+@pytest.mark.parametrize("Dh", [64, 128])
+def test_attention_xla_vs_pallas_interpret(Dh):
     """Pallas kernel numerics vs XLA path (interpret mode on CPU)."""
     import functools
     from jax.experimental import pallas as pl
     from fscl_tpu.ops import attention as A
 
     rng = jax.random.PRNGKey(0)
-    B, H, L, Dh = 2, 2, 128, 128
+    B, H, L = 2, 2, 128
     q, k, v = jax.random.normal(rng, (3, B, H, L, Dh))
     valid = jnp.arange(L)[None, :] < jnp.array([100, 128])[:, None]
     want = A.xla_attention(q, k, v, valid)
