@@ -70,7 +70,9 @@ def run(args):
         example = next(batches())
     elif args.system in ("fscl", "fscl-orig"):
         from fscl_tpu.data.episodic import EpisodicSampler, InfiniteEpisodes
-        n_symbols = sum(n for _, n in id2symbols)
+        # episodes carry raw per-language ids; the generated table only
+        # needs to cover the largest per-language inventory (static shape)
+        n_symbols = max(n for _, n in id2symbols)
         system = sys_cls(model_cfg, train_cfg.optim, n_symbols)
         labels = []
         for d in datasets:

@@ -26,6 +26,28 @@ from fscl_tpu.data.episodic import (
 from fscl_tpu.data.feature_store import FeatureStore
 
 
+def build_id2symbols(data_configs: Sequence[DataConfig]):
+    """Ordered (symbol_id, n_symbols) tuple over the data configs
+    (lightning/build.py:12-29 build_id2symbols) — the canonical order for
+    both MultilingualEmbedding construction and re-id offsets."""
+    from fscl_tpu.frontend import LANG_ID2SYMBOLS
+    seen = []
+    for dc in data_configs:
+        if dc.symbol_id not in [s for s, _ in seen]:
+            seen.append((dc.symbol_id, len(LANG_ID2SYMBOLS[dc.symbol_id])))
+    return tuple(seen)
+
+
+def symbol_offsets(id2symbols) -> dict:
+    """symbol_id -> offset into the concatenated table (re-id increments,
+    FSCLCollate.py:23-30)."""
+    offsets, total = {}, 0
+    for sid, n in id2symbols:
+        offsets[sid] = total
+        total += n
+    return offsets
+
+
 class BaseDataModule:
     def __init__(self, data_configs: Sequence[DataConfig],
                  model_cfg: ModelConfig, train_cfg: TrainConfig,
@@ -36,14 +58,23 @@ class BaseDataModule:
         self.exp_dir = exp_dir
         self.stores = {dc.name: FeatureStore(dc.data_dir)
                        for dc in self.data_configs}
+        self.id2symbols = build_id2symbols(self.data_configs)
+        self.offsets = symbol_offsets(self.id2symbols)
 
-    def _datasets(self, split: str, cls, **kw):
+    def _datasets(self, split: str, cls, re_id: bool = False, **kw):
         out = []
+        spk_offset = 0
         for dc in self.data_configs:
             path = dc.subset_path(split)
             if path and os.path.isfile(path):
-                out.append(cls(path, self.stores[dc.name], dc,
-                               self.model_cfg, **kw))
+                extra = {}
+                if re_id:
+                    extra = {"id_offset": self.offsets[dc.symbol_id],
+                             "speaker_offset": spk_offset}
+                ds = cls(path, self.stores[dc.name], dc, self.model_cfg,
+                         **extra, **kw)
+                spk_offset += len(ds.speakers)
+                out.append(ds)
         return out
 
 
@@ -51,11 +82,19 @@ class BaseDataModule:
                       "fscl-tune")
 class FastSpeech2DataModule(BaseDataModule):
     """Plain multilingual supervised loader
-    (FastSpeech2DataModule.py:12-136)."""
+    (FastSpeech2DataModule.py:12-136). `re_id=True` maps phoneme ids into
+    concatenated-table space for multilingual joint training; tune flows
+    pass re_id=False (FastSpeech2DataModule.py:136 — single-language table
+    addressed by symbol_id with raw ids)."""
+
+    def __init__(self, *args, re_id: bool = True, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.re_id = re_id
 
     def setup(self):
-        self.train_set = ConcatDataset(self._datasets("train", FastSpeech2Dataset))
-        val = self._datasets("val", FastSpeech2Dataset)
+        self.train_set = ConcatDataset(
+            self._datasets("train", FastSpeech2Dataset, re_id=self.re_id))
+        val = self._datasets("val", FastSpeech2Dataset, re_id=self.re_id)
         self.val_set = ConcatDataset(val) if val else None
 
     def train_batches(self) -> Iterator[Batch]:

@@ -39,12 +39,19 @@ class FastSpeech2Dataset:
 
     def __init__(self, split_txt: str, store: FeatureStore, config: DataConfig,
                  model_cfg: ModelConfig, stats: GlobalStats = DEFAULT_STATS,
-                 spk_refer_wav: bool = False):
+                 spk_refer_wav: bool = False, id_offset: int = 0,
+                 speaker_offset: int = 0):
+        """`id_offset` re-ids phoneme ids into the concatenated multilingual
+        table space (FSCLCollate re_id / T2UCollate.py:38-44);
+        `speaker_offset` does the same for the global speaker table
+        (build_all_speakers)."""
         self.store = store
         self.config = config
         self.model_cfg = model_cfg
         self.stats = stats
         self.spk_refer_wav = spk_refer_wav
+        self.id_offset = id_offset
+        self.speaker_offset = speaker_offset
         self.queries = read_queries_from_txt(split_txt)
         self.speakers = store.load_speakers()
         self.speaker_map = {s: i for i, s in enumerate(self.speakers)}
@@ -90,9 +97,11 @@ class FastSpeech2Dataset:
             assert not np.isnan(arr).any(), f"NaN in {name}: {query}"
         assert len(text) == len(duration), (len(text), len(duration), query)
 
+        if self.id_offset:
+            text = text + self.id_offset
         return {
             "id": q["basename"],
-            "speaker": self.speaker_map[q["spk"]],
+            "speaker": self.speaker_map[q["spk"]] + self.speaker_offset,
             "speaker_name": q["spk"],
             "text": raw_text,
             "phonemes": text,

@@ -1,5 +1,6 @@
 from fscl_tpu.train.optim import lr_schedule, make_optimizer
 from fscl_tpu.train.precision import cast_floating, cast_params_bf16
-from fscl_tpu.train.trainer import (
-    Trainer, make_parallel_eval_step, make_parallel_train_step, place_batch,
-)
+
+# NB: fscl_tpu.train.trainer imports systems.base (which imports this
+# package), so Trainer/make_parallel_* must be imported from
+# fscl_tpu.train.trainer directly to avoid a circular import.
