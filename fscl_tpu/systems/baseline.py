@@ -116,7 +116,7 @@ class BaselineSystem(System):
         if not hasattr(self, "_len_fns"):
             self._len_fns = {}
             self._synth_fns = {}
-        L = texts.shape[1]
+        L = (texts.shape[1], symbol_id)
         if L not in self._len_fns:
             emb_fn = self.embedding_model
             model = self.model
@@ -135,7 +135,7 @@ class BaselineSystem(System):
         max_len = int(np.max(np.asarray(mel_len)))
         T = next((b for b in mel_buckets if max_len <= b), mel_buckets[-1])
 
-        key = (L, T)
+        key = (L, T, tuple(sorted(controls.items())))
         if key not in self._synth_fns:
             self._synth_fns[key] = jax.jit(
                 lambda p, bs, t, s, sp, lg: self.synthesize(
