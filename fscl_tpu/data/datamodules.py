@@ -140,12 +140,13 @@ class FSCLDataModule(BaseDataModule):
 
     def __init__(self, *args, shots: int = 32, queries: int = 8,
                  n_tasks_per_label: int = 8, with_sup_batch: bool = False,
-                 **kwargs):
+                 with_qry_wavs: bool = False, **kwargs):
         super().__init__(*args, **kwargs)
         self.shots = shots
         self.queries = queries
         self.n_tasks_per_label = n_tasks_per_label
-        self.with_sup_batch = with_sup_batch
+        self.with_sup_batch = with_sup_batch   # MAML inner loops
+        self.with_qry_wavs = with_qry_wavs     # SSL-ADA query speech
 
     def setup(self):
         datasets = self._datasets(
@@ -171,7 +172,8 @@ class FSCLDataModule(BaseDataModule):
         for idxs in self.sampler.infinite():
             samples = [self.train_set[i] for i in idxs]
             yield collate_episode(samples, self.shots, self.queries,
-                                  with_sup_batch=self.with_sup_batch)
+                                  with_sup_batch=self.with_sup_batch,
+                                  with_qry_wavs=self.with_qry_wavs)
 
     def val_batches(self):
         if self.val_set is None:
@@ -183,7 +185,8 @@ class FSCLDataModule(BaseDataModule):
         for idxs in tasks:
             samples = [self.val_set[i] for i in idxs]
             out.append(collate_episode(samples, self.shots, self.queries,
-                                       with_sup_batch=self.with_sup_batch))
+                                       with_sup_batch=self.with_sup_batch,
+                                       with_qry_wavs=self.with_qry_wavs))
         return out
 
 
