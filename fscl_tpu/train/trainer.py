@@ -62,11 +62,18 @@ class Trainer:
         train_cfg: TrainConfig,
         mesh: Optional[Mesh] = None,
         callbacks: Iterable = (),
+        profile: bool = False,
     ):
+        """`profile=True` accumulates per-phase wall times (the reference's
+        always-on Lightning simple profiler, main.py:39) — report via
+        `trainer.timer.report()`."""
         self.system = system
         self.cfg = train_cfg
         self.mesh = mesh
         self.callbacks = list(callbacks)
+        self.profile = profile
+        from fscl_tpu.obs.profiling import PhaseTimer
+        self.timer = PhaseTimer()
         self._train_step = None
         self._eval_step = None
 
@@ -94,9 +101,17 @@ class Trainer:
             if step >= max_steps:
                 break
             rng, sub = jax.random.split(rng)
-            if self.mesh is not None:
-                batch = place_batch(batch, self.mesh)
-            state, metrics = train_step(state, batch, sub)
+            if self.profile:
+                with self.timer.phase("place_batch"):
+                    if self.mesh is not None:
+                        batch = place_batch(batch, self.mesh)
+                with self.timer.phase("train_step",
+                                      block_on=state.step):
+                    state, metrics = train_step(state, batch, sub)
+            else:
+                if self.mesh is not None:
+                    batch = place_batch(batch, self.mesh)
+                state, metrics = train_step(state, batch, sub)
             step += 1
 
             if step % self.cfg.log_step == 0:
