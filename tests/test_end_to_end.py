@@ -148,6 +148,18 @@ def test_supervised_training_end_to_end(mini_corpus):
         jnp.asarray([0]), jnp.asarray([0]))
     assert np.isfinite(np.asarray(out.postnet_mel)).all()
 
+    # checkpoint round-trip + resume (ModelCheckpoint/resume semantics)
+    from fscl_tpu.core.checkpoint import CheckpointManager
+    ckpt_dir = str(store.root) + "-ckpt"
+    mgr = CheckpointManager(ckpt_dir)
+    mgr.save(int(state.step), state)
+    fresh = system.init_state(jax.random.PRNGKey(7), example)
+    resumed = mgr.restore_into(fresh)
+    a = jax.tree_util.tree_leaves(state.params)
+    b = jax.tree_util.tree_leaves(resumed.params)
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y))
+
 
 def test_fscl_datamodule_episodes(mini_corpus):
     from fscl_tpu.core.config import (
