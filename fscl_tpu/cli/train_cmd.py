@@ -84,7 +84,17 @@ def run(args):
         batches = lambda: iter(stream)
         example = next(iter(stream))
     else:
-        raise SystemExit(f"train_cmd does not wire system '{args.system}' yet")
+        # generic path: factory + registered datamodule
+        import fscl_tpu.data.mix_datamodules  # noqa: F401 (register)
+        from fscl_tpu.data.datamodules import get_datamodule
+        from fscl_tpu.systems.factory import build_system
+        system = build_system(args.system, model_cfg, train_cfg.optim,
+                              data_configs, algo_cfg)
+        dm = get_datamodule(args.system)(data_configs, model_cfg, train_cfg,
+                                         exp_dir=args.exp_dir)
+        dm.setup()
+        batches = dm.train_batches
+        example = next(batches())
 
     state = system.init_state(jax.random.PRNGKey(train_cfg.seed), example)
 
