@@ -47,12 +47,18 @@ def run(args):
     # datasets
     stores = {dc.name: FeatureStore(dc.data_dir) for dc in data_configs}
     need_ssl = args.system.startswith("fscl")
+    # d-vector speaker paths need per-utterance reference mel slices
+    # (speaker_encoder.py:115-136); datasets load them, collate pads them
+    dvec_slices = (model_cfg.speaker.n_ref_slices
+                   if model_cfg.speaker.uses_dvec else None)
+    ds_kw = {"spk_refer_wav": True} if dvec_slices else {}
     ds_cls = FSCLDataset if need_ssl else FastSpeech2Dataset
     datasets = []
     for dc in data_configs:
         train_txt = dc.subset_path("train")
         assert train_txt, f"data config {dc.name} has no train subset"
-        datasets.append(ds_cls(train_txt, stores[dc.name], dc, model_cfg))
+        datasets.append(
+            ds_cls(train_txt, stores[dc.name], dc, model_cfg, **ds_kw))
     dataset = ConcatDataset(datasets)
 
     # system
@@ -65,7 +71,9 @@ def run(args):
             bs = train_cfg.optim.batch_size
             while True:
                 idxs = rng.integers(0, len(dataset), bs)
-                _, batch = collate_batch([dataset[int(i)] for i in idxs])
+                _, batch = collate_batch(
+                    [dataset[int(i)] for i in idxs],
+                    dvec_slices=dvec_slices)
                 yield batch
         example = next(batches())
     elif args.system in ("fscl", "fscl-orig"):

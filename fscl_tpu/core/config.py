@@ -80,6 +80,14 @@ class VarianceConfig:
 class SpeakerConfig:
     emb_type: str = "table"  # "table" | "shared" | "encoder" | "dvec" | "scratch_encoder"
     n_speakers: int = 1
+    # static per-utterance slice count for the d-vector paths: ragged
+    # spk_ref_mel_slices are padded/truncated to this so batches stay
+    # jit-stable (data/batch.py DvecRefs)
+    n_ref_slices: int = 10
+
+    @property
+    def uses_dvec(self) -> bool:
+        return self.emb_type in ("encoder", "dvec", "scratch_encoder")
 
 
 @dataclass(frozen=True)
@@ -342,6 +350,14 @@ def model_config_from_yaml(path: str) -> ModelConfig:
         multi_speaker=raw.get("multi_speaker", True),
         multi_lingual=raw.get("multi_lingual", True),
     )
+    # reference model YAMLs select the speaker path with a top-level
+    # `speaker_emb` key (config/model/fscl-fastspeech2.yaml:44 "dvec")
+    spk = raw.get("speaker", {})
+    cfg = replace(cfg, speaker=SpeakerConfig(
+        emb_type=raw.get("speaker_emb", spk.get("emb_type", "table")),
+        n_speakers=spk.get("n_speakers", 1),
+        n_ref_slices=spk.get("n_ref_slices", 10),
+    ))
     cb = raw.get("codebook", {})
     if cb:
         cfg = replace(cfg, codebook=CodebookConfig(

@@ -28,6 +28,31 @@ class Batch(NamedTuple):
     lang_ids: np.ndarray        # (B,) int32
 
 
+class DvecRefs(NamedTuple):
+    """Speaker-reference mel slices for the GE2E d-vector speaker paths
+    ("encoder"/"dvec"/"scratch_encoder", speaker_encoder.py:115-136). The
+    reference keeps a ragged list of slice tensors per utterance; here the
+    slice count is padded/truncated to a static N so the whole batch is one
+    jit-stable array and the padded slices are masked out of the GE2E
+    average."""
+    slices: np.ndarray          # (B, N, 160, 40) float32 partial-utterance mels
+    mask: np.ndarray            # (B, N) float32 — 1 for real slices
+
+
+def collate_dvec_refs(samples: List[dict], n_slices: int) -> DvecRefs:
+    """Pad each sample's (N_i, 160, 40) spk_ref_mel_slices to a fixed
+    n_slices. Truncation keeps the leading slices (resemblyzer order)."""
+    first = np.asarray(samples[0]["spk_ref_mel_slices"])
+    T, C = first.shape[1], first.shape[2]
+    out = np.zeros((len(samples), n_slices, T, C), np.float32)
+    mask = np.zeros((len(samples), n_slices), np.float32)
+    for i, s in enumerate(samples):
+        sl = np.asarray(s["spk_ref_mel_slices"], np.float32)[:n_slices]
+        out[i, : len(sl)] = sl
+        mask[i, : len(sl)] = 1.0
+    return DvecRefs(out, mask)
+
+
 @dataclass
 class BatchMeta:
     ids: List[str]
@@ -82,6 +107,7 @@ def collate_batch(
     text_buckets: Sequence[int] = TEXT_BUCKETS,
     mel_buckets: Sequence[int] = MEL_BUCKETS,
     bucket: bool = True,
+    dvec_slices: Optional[int] = None,
 ) -> Tuple[BatchMeta, Batch]:
     """Samples are dicts with keys: id, text (str), phonemes (int array),
     mel (T, n_mels), pitch, energy, duration, speaker (int), lang_id (int).
@@ -99,8 +125,13 @@ def collate_batch(
         T = bucket_len(T, mel_buckets)
 
     has_mel = samples[0].get("mel") is not None
+    if dvec_slices is not None and "spk_ref_mel_slices" in samples[0]:
+        speaker_args = collate_dvec_refs(samples, dvec_slices)
+    else:
+        speaker_args = np.array(
+            [s["speaker"] for s in samples], dtype=np.int32)
     batch = Batch(
-        speaker_args=np.array([s["speaker"] for s in samples], dtype=np.int32),
+        speaker_args=speaker_args,
         texts=pad_1d([s["phonemes"] for s in samples], L, dtype=np.int32),
         src_lens=np.minimum(src_lens, L),
         mels=(pad_2d([s["mel"] for s in samples], T) if has_mel

@@ -90,11 +90,18 @@ class FastSpeech2DataModule(BaseDataModule):
     def __init__(self, *args, re_id: bool = True, **kwargs):
         super().__init__(*args, **kwargs)
         self.re_id = re_id
+        # d-vector speaker paths consume per-utterance reference mel slices
+        # instead of speaker ids (speaker_encoder.py:115-136); the dataset
+        # then loads spk_ref_mel_slices and the collate pads them to a
+        # static slice count
+        spk = self.model_cfg.speaker
+        self.dvec_slices = spk.n_ref_slices if spk.uses_dvec else None
 
     def setup(self):
+        kw = {"spk_refer_wav": True} if self.dvec_slices else {}
         self.train_set = ConcatDataset(
-            self._datasets("train", FastSpeech2Dataset, re_id=self.re_id))
-        val = self._datasets("val", FastSpeech2Dataset, re_id=self.re_id)
+            self._datasets("train", FastSpeech2Dataset, re_id=self.re_id, **kw))
+        val = self._datasets("val", FastSpeech2Dataset, re_id=self.re_id, **kw)
         self.val_set = ConcatDataset(val) if val else None
 
     def train_batches(self) -> Iterator[Batch]:
@@ -114,7 +121,8 @@ class FastSpeech2DataModule(BaseDataModule):
                 lengths, bs, seed=self.train_cfg.seed + epoch)
             for idxs in sampler:
                 _, batch = collate_batch(
-                    [self.train_set[int(i)] for i in idxs])
+                    [self.train_set[int(i)] for i in idxs],
+                    dvec_slices=self.dvec_slices)
                 yield batch
             epoch += 1
 
@@ -127,7 +135,8 @@ class FastSpeech2DataModule(BaseDataModule):
             samples = [self.val_set[i]
                        for i in range(start, min(start + bs, len(self.val_set)))]
             if samples:
-                out.append(collate_batch(samples)[1])
+                out.append(collate_batch(
+                    samples, dvec_slices=self.dvec_slices)[1])
         return out
 
 

@@ -26,8 +26,11 @@ class GE2EEncoder(nn.Module):
     out_dim: int = 256
 
     @nn.compact
-    def __call__(self, mel_slices):
-        """mel_slices: (N_slices, T, mel_n_channels) -> (out_dim,) d-vector."""
+    def __call__(self, mel_slices, mask=None):
+        """mel_slices: (N_slices, T, mel_n_channels) -> (out_dim,) d-vector.
+        `mask` (N_slices,) marks real slices when N is padded to a static
+        count (DvecRefs) — padded slices are excluded from the partial-
+        embedding average (resemblyzer embed_utterance semantics)."""
         x = mel_slices
         for i in range(self.num_layers):
             rnn = nn.RNN(nn.LSTMCell(self.hidden_size), name=f"lstm_{i}")
@@ -36,7 +39,11 @@ class GE2EEncoder(nn.Module):
         e = nn.Dense(self.out_dim, name="proj")(h_last)
         e = nn.relu(e)
         e = e / (jnp.linalg.norm(e, axis=-1, keepdims=True) + 1e-5)
-        d = jnp.mean(e, axis=0)
+        if mask is None:
+            d = jnp.mean(e, axis=0)
+        else:
+            w = mask[:, None]
+            d = (e * w).sum(axis=0) / jnp.maximum(w.sum(), 1.0)
         return d / (jnp.linalg.norm(d) + 1e-5)
 
 
@@ -56,6 +63,9 @@ class SpeakerEncoder(nn.Module):
                 jnp.zeros_like(speaker_args))
         if self.emb_type in ("encoder", "dvec", "scratch_encoder"):
             enc = GE2EEncoder(out_dim=self.d_model, name="ge2e")
+            if isinstance(speaker_args, (tuple, list)) and len(speaker_args) == 2:
+                slices, mask = speaker_args   # DvecRefs: padded slice count
+                return jax.vmap(enc)(slices, mask)
             return jax.vmap(enc)(speaker_args)
         raise ValueError(f"Unknown speaker emb_type: {self.emb_type}")
 
@@ -70,9 +80,11 @@ def convert_resemblyzer_checkpoint(state_dict) -> dict:
         return np.asarray(x.detach().cpu().numpy() if hasattr(x, "detach") else x)
 
     def lstm_layer(i):
-        # torch LSTM gate order: i, f, g, o; flax OptimizedLSTMCell uses
-        # separate kernels per gate {i,f,g,o} with names ii/if/ig/io (input)
-        # and hi/hf/hg/ho (hidden)
+        # torch LSTM gate order: i, f, g, o; flax LSTMCell uses separate
+        # Dense params per gate: ii/if/ig/io (input, no bias) and
+        # hi/hf/hg/ho (hidden, carries the summed torch biases). The cells
+        # are passed into nn.RNN pre-constructed, so they bind to the
+        # GE2EEncoder scope under auto-names LSTMCell_{i}.
         w_ih = t(state_dict[f"lstm.weight_ih_l{i}"])   # (4H, D)
         w_hh = t(state_dict[f"lstm.weight_hh_l{i}"])   # (4H, H)
         b = t(state_dict[f"lstm.bias_ih_l{i}"]) + t(
@@ -84,11 +96,11 @@ def convert_resemblyzer_checkpoint(state_dict) -> dict:
             p[f"i{g}"] = {"kernel": w_ih[gi * H:(gi + 1) * H].T}
             p[f"h{g}"] = {"kernel": w_hh[gi * H:(gi + 1) * H].T,
                           "bias": b[gi * H:(gi + 1) * H]}
-        return {"cell": p}
+        return p
 
     params = {}
     for i in range(3):
-        params[f"lstm_{i}"] = lstm_layer(i)
+        params[f"LSTMCell_{i}"] = lstm_layer(i)
     params["proj"] = {
         "kernel": t(state_dict["linear.weight"]).T,
         "bias": t(state_dict["linear.bias"]),

@@ -56,6 +56,7 @@ class SynthSaver(Callback):
 
     def on_validation_sample(self, step: int, state, batch, symbol_id=None):
         """Reconstruction + synthesis of the first sample in the batch."""
+        import jax
         import jax.numpy as jnp
 
         if step % self.synth_step != 0:
@@ -70,7 +71,9 @@ class SynthSaver(Callback):
         synth = self.system.synthesize(
             state.params, state.batch_stats,
             jnp.asarray(batch.texts[:1]), jnp.asarray(batch.src_lens[:1]),
-            batch.mels.shape[1], jnp.asarray(batch.speaker_args[:1]),
+            # [:1] per leaf: speaker_args may be a DvecRefs pytree
+            batch.mels.shape[1],
+            jax.tree.map(lambda x: jnp.asarray(x[:1]), batch.speaker_args),
             jnp.asarray(batch.lang_ids[:1]), symbol_id=symbol_id)
         m = int(np.asarray(synth.mel_len)[0])
         self.save_sample(

@@ -46,7 +46,9 @@ class BaselineSystem(System):
         T = batch.mels.shape[1]
         model_vars = self.model.init(
             r2, emb, jnp.asarray(batch.src_lens), T,
-            speaker_args=jnp.asarray(batch.speaker_args),
+            # speaker_args may be a DvecRefs pytree (slices, mask), not a
+            # flat id array — map asarray over its leaves
+            speaker_args=jax.tree.map(jnp.asarray, batch.speaker_args),
             mel_lens=jnp.asarray(batch.mel_lens),
             p_targets=jnp.asarray(batch.pitches),
             e_targets=jnp.asarray(batch.energies),
@@ -58,6 +60,18 @@ class BaselineSystem(System):
         if "batch_stats" in model_vars:
             variables["batch_stats"] = {"model": model_vars["batch_stats"]}
         return variables
+
+    def trainable_mask(self, params):
+        """emb_type="dvec" keeps the pretrained GE2E speaker encoder frozen
+        ("encoder"/"scratch_encoder" fine-tune it) — reference
+        speaker_encoder.py:115-136 detaches the d-vector path."""
+        freeze_ge2e = self.model_cfg.speaker.emb_type == "dvec"
+
+        def f(path, _):
+            in_ge2e = any(getattr(p, "key", None) == "ge2e" for p in path)
+            return not (freeze_ge2e and in_ge2e)
+
+        return jax.tree_util.tree_map_with_path(f, params)
 
     # -- forward -------------------------------------------------------------
     def forward(self, params, batch_stats, batch: Batch, rng=None,

@@ -117,7 +117,7 @@ class TransEmbSystem(System):
         emb = jnp.zeros(qry.texts.shape + (d,))
         model_vars = self.model.init(
             r3, emb, jnp.asarray(qry.src_lens), qry.mels.shape[1],
-            speaker_args=jnp.asarray(qry.speaker_args),
+            speaker_args=jax.tree.map(jnp.asarray, qry.speaker_args),
             mel_lens=jnp.asarray(qry.mel_lens),
             p_targets=jnp.asarray(qry.pitches),
             e_targets=jnp.asarray(qry.energies),
