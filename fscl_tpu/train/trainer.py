@@ -96,6 +96,7 @@ class Trainer:
             eval_step = jax.jit(self.system.eval_step) if val_loader else None
 
         step = int(state.step)
+        metrics = None
         t_log = time.time()
         for batch in train_iter:
             if step >= max_steps:
@@ -144,4 +145,12 @@ class Trainer:
             if step % self.cfg.save_step == 0:
                 for cb in self.callbacks:
                     cb.on_save(step, state)
+        # always emit the final step's metrics, so short smoke runs
+        # (total_step < log_step) still produce a loss line
+        if step % self.cfg.log_step != 0 and metrics is not None:
+            metrics = {k: float(v) for k, v in metrics.items()}
+            dt = max(time.time() - t_log, 1e-9)
+            for cb in self.callbacks:
+                cb.on_log(step, metrics,
+                          steps_per_sec=(step % self.cfg.log_step) / dt)
         return state
