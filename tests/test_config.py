@@ -67,3 +67,17 @@ def test_data_yaml(tmp_path):
     dc2 = read_data_config(str(p2))
     assert dc2.unit_name == "hubert-64"
     assert dc2.symbol_id == "hubert-64"
+
+
+def test_model_yaml_speaker_emb(tmp_path):
+    """Top-level speaker_emb key selects the speaker path like the
+    reference model YAMLs (config/model/fscl-fastspeech2.yaml:44)."""
+    p = tmp_path / "m.yaml"
+    p.write_text("speaker_emb: dvec\nspeaker:\n  n_ref_slices: 6\n")
+    cfg = model_config_from_yaml(str(p))
+    assert cfg.speaker.emb_type == "dvec"
+    assert cfg.speaker.n_ref_slices == 6
+    assert cfg.speaker.uses_dvec
+    p2 = tmp_path / "m2.yaml"
+    p2.write_text("multi_speaker: True\n")
+    assert model_config_from_yaml(str(p2)).speaker.emb_type == "table"
