@@ -52,6 +52,10 @@ def main(argv=None):
     s.add_argument("--text", required=True,
                    help="text or {PHONEME ...} string")
     s.add_argument("--speaker", type=int, default=0)
+    s.add_argument("--model_config", default=None)
+    s.add_argument("--ref_wav", default=None,
+                   help="reference audio of the target speaker "
+                        "(required for speaker_emb dvec/encoder models)")
     s.add_argument("--output", default="output.wav")
     s.add_argument("--vocoder_ckpt", default=None)
 

@@ -11,13 +11,16 @@ def run(args):
     import numpy as np
 
     from fscl_tpu.core.checkpoint import CheckpointManager
-    from fscl_tpu.core.config import ModelConfig, OptimConfig, read_data_config
+    from fscl_tpu.core.config import (
+        ModelConfig, OptimConfig, model_config_from_yaml, read_data_config,
+    )
     from fscl_tpu.dsp.audio_io import save_wav
     from fscl_tpu.frontend import LANG_ID2SYMBOLS, text_to_sequence
     from fscl_tpu.systems.baseline import BaselineSystem
 
     dc = read_data_config(args.data_config)
-    model_cfg = ModelConfig()
+    model_cfg = (model_config_from_yaml(args.model_config)
+                 if getattr(args, "model_config", None) else ModelConfig())
     id2symbols = ((dc.symbol_id, len(LANG_ID2SYMBOLS[dc.symbol_id])),)
     system = BaselineSystem(model_cfg, OptimConfig(), id2symbols)
 
@@ -27,10 +30,30 @@ def run(args):
     src_lens = jnp.asarray([L])
     T = min(model_cfg.max_seq_len, max(64, L * 12))
 
+    # speaker identity: table id, or d-vector from reference audio
+    # (speaker_encoder.py:115-136 — the dvec path embeds spk_ref_mel_slices)
+    if model_cfg.speaker.uses_dvec:
+        assert getattr(args, "ref_wav", None), (
+            "this model uses a d-vector speaker encoder: pass "
+            "--ref_wav <audio of the target speaker>")
+        from fscl_tpu.data.batch import DvecRefs
+        from fscl_tpu.dsp.audio_io import load_wav
+        from fscl_tpu.dsp.preprocess import dvec_mel_slices
+        slices = dvec_mel_slices(load_wav(args.ref_wav, sr=16000))
+        n_ref = model_cfg.speaker.n_ref_slices
+        sl = np.zeros((1, n_ref) + slices.shape[1:], np.float32)
+        mask = np.zeros((1, n_ref), np.float32)
+        k = min(len(slices), n_ref)
+        sl[0, :k] = slices[:k]
+        mask[0, :k] = 1.0
+        speaker_args = DvecRefs(jnp.asarray(sl), jnp.asarray(mask))
+    else:
+        speaker_args = jnp.asarray([args.speaker])
+
     # init then restore
     from fscl_tpu.data.batch import Batch
     dummy = Batch(
-        speaker_args=np.zeros(1, np.int32), texts=np.asarray(seq, np.int32)[None],
+        speaker_args=speaker_args, texts=np.asarray(seq, np.int32)[None],
         src_lens=np.asarray([L], np.int32),
         mels=np.zeros((1, T, 80), np.float32), mel_lens=np.asarray([T], np.int32),
         pitches=np.zeros((1, L), np.float32), energies=np.zeros((1, L), np.float32),
@@ -41,7 +64,7 @@ def run(args):
 
     out = system.synthesize(
         state.params, state.batch_stats, texts, src_lens, T,
-        jnp.asarray([args.speaker]), jnp.asarray([dc.lang_id]),
+        speaker_args, jnp.asarray([dc.lang_id]),
         symbol_id=dc.symbol_id)
     n = int(out.mel_len[0])
     mel = np.asarray(out.postnet_mel)[0, :n]

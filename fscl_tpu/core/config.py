@@ -163,6 +163,9 @@ class TrainConfig:
     val_step: int = 1000
     save_step: int = 1000
     seed: int = 43
+    # input-pipeline depth: batches prepared+placed ahead of the device
+    # step by a background thread (0 disables; train/trainer.py)
+    prefetch: int = 2
 
 
 @dataclass(frozen=True)

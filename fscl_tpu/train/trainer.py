@@ -53,6 +53,38 @@ def place_batch(batch, mesh: Mesh):
     return jax.tree_util.tree_map(lambda x: jax.device_put(np.asarray(x), sh), batch)
 
 
+def prefetch_batches(iterator, size: int = 2, place=None):
+    """Background-thread input pipeline: host collate (+ optional device
+    placement) runs `size` batches ahead of the consumer, overlapping data
+    prep with the device step. TPU-native replacement for the reference's
+    DataLoader(num_workers=4) prefetching (main.py Lightning loaders) —
+    here one thread suffices because collate is numpy-bound and device
+    transfer releases the GIL. Exceptions in the producer re-raise at the
+    consumer's next pull."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=max(size, 1))
+    END = object()
+
+    def worker():
+        try:
+            for b in iterator:
+                q.put(place(b) if place is not None else b)
+            q.put(END)
+        except BaseException as e:  # propagate into the training loop
+            q.put(e)
+
+    threading.Thread(target=worker, daemon=True).start()
+    while True:
+        item = q.get()
+        if item is END:
+            return
+        if isinstance(item, BaseException):
+            raise item
+        yield item
+
+
 class Trainer:
     """Step-based host loop (log/val/save cadence from TrainConfig)."""
 
@@ -95,6 +127,13 @@ class Trainer:
             train_step = jax.jit(self.system.train_step, donate_argnums=(0,))
             eval_step = jax.jit(self.system.eval_step) if val_loader else None
 
+        prefetch = getattr(self.cfg, "prefetch", 0)
+        if prefetch > 0:
+            place = ((lambda b: place_batch(b, self.mesh))
+                     if self.mesh is not None else jax.device_put)
+            train_iter = prefetch_batches(train_iter, size=prefetch,
+                                          place=place)
+
         step = int(state.step)
         metrics = None
         t_log = time.time()
@@ -104,13 +143,13 @@ class Trainer:
             rng, sub = jax.random.split(rng)
             if self.profile:
                 with self.timer.phase("place_batch"):
-                    if self.mesh is not None:
+                    if self.mesh is not None and prefetch == 0:
                         batch = place_batch(batch, self.mesh)
                 with self.timer.phase("train_step",
                                       block_on=state.step):
                     state, metrics = train_step(state, batch, sub)
             else:
-                if self.mesh is not None:
+                if self.mesh is not None and prefetch == 0:
                     batch = place_batch(batch, self.mesh)
                 state, metrics = train_step(state, batch, sub)
             step += 1
