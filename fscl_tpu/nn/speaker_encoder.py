@@ -33,8 +33,12 @@ class GE2EEncoder(nn.Module):
         embedding average (resemblyzer embed_utterance semantics)."""
         x = mel_slices
         for i in range(self.num_layers):
-            rnn = nn.RNN(nn.LSTMCell(self.hidden_size), name=f"lstm_{i}")
-            x = rnn(x)
+            # OptimizedLSTMCell: same param structure as LSTMCell but fuses
+            # the gate matmuls — measured 2x faster fwd+bwd on v5e (0.15 vs
+            # 0.30 ms at B=16, N=10 slices). The cell binds to THIS scope
+            # (it's constructed outside nn.RNN), so name it explicitly.
+            cell = nn.OptimizedLSTMCell(self.hidden_size, name=f"lstm_{i}")
+            x = nn.RNN(cell)(x)
         h_last = x[:, -1]                          # (N, hidden)
         e = nn.Dense(self.out_dim, name="proj")(h_last)
         e = nn.relu(e)
@@ -80,11 +84,10 @@ def convert_resemblyzer_checkpoint(state_dict) -> dict:
         return np.asarray(x.detach().cpu().numpy() if hasattr(x, "detach") else x)
 
     def lstm_layer(i):
-        # torch LSTM gate order: i, f, g, o; flax LSTMCell uses separate
-        # Dense params per gate: ii/if/ig/io (input, no bias) and
-        # hi/hf/hg/ho (hidden, carries the summed torch biases). The cells
-        # are passed into nn.RNN pre-constructed, so they bind to the
-        # GE2EEncoder scope under auto-names LSTMCell_{i}.
+        # torch LSTM gate order: i, f, g, o; flax (Optimized)LSTMCell uses
+        # separate Dense params per gate: ii/if/ig/io (input, no bias) and
+        # hi/hf/hg/ho (hidden, carries the summed torch biases). Cells are
+        # explicitly named lstm_{i} in GE2EEncoder.
         w_ih = t(state_dict[f"lstm.weight_ih_l{i}"])   # (4H, D)
         w_hh = t(state_dict[f"lstm.weight_hh_l{i}"])   # (4H, H)
         b = t(state_dict[f"lstm.bias_ih_l{i}"]) + t(
@@ -100,7 +103,7 @@ def convert_resemblyzer_checkpoint(state_dict) -> dict:
 
     params = {}
     for i in range(3):
-        params[f"LSTMCell_{i}"] = lstm_layer(i)
+        params[f"lstm_{i}"] = lstm_layer(i)
     params["proj"] = {
         "kernel": t(state_dict["linear.weight"]).T,
         "bias": t(state_dict["linear.bias"]),

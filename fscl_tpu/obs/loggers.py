@@ -33,7 +33,10 @@ class LossTableLogger(Callback):
 
     def _emit(self, step: int, metrics: Dict[str, float], prefix: str,
               extra: str = ""):
-        cols = " | ".join(f"{k}: {v:.4f}" for k, v in metrics.items())
+        # lr is tiny during warmup — scientific notation keeps it readable
+        cols = " | ".join(
+            f"{k}: {v:.3e}" if k == "lr" else f"{k}: {v:.4f}"
+            for k, v in metrics.items())
         line = f"[{prefix}] step {step} | {cols}{extra}"
         print(line)
         with open(self.path, "a") as f:

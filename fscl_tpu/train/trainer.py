@@ -109,6 +109,16 @@ class Trainer:
         self._train_step = None
         self._eval_step = None
 
+    def _lr_at(self, step: int) -> float:
+        """Current learning rate (LearningRateMonitor parity, system.py:67)."""
+        import jax.numpy as jnp
+
+        from fscl_tpu.train.optim import lr_schedule
+        try:
+            return float(lr_schedule(self.system.optim_cfg)(jnp.asarray(step)))
+        except Exception:
+            return float("nan")
+
     def fit(
         self,
         state: TrainState,
@@ -156,6 +166,7 @@ class Trainer:
 
             if step % self.cfg.log_step == 0:
                 metrics = {k: float(v) for k, v in metrics.items()}
+                metrics["lr"] = self._lr_at(step)
                 dt = time.time() - t_log
                 t_log = time.time()
                 for cb in self.callbacks:
@@ -188,6 +199,7 @@ class Trainer:
         # (total_step < log_step) still produce a loss line
         if step % self.cfg.log_step != 0 and metrics is not None:
             metrics = {k: float(v) for k, v in metrics.items()}
+            metrics["lr"] = self._lr_at(step)
             dt = max(time.time() - t_log, 1e-9)
             for cb in self.callbacks:
                 cb.on_log(step, metrics,

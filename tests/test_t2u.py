@@ -113,3 +113,25 @@ def test_fscl_t2u_episode():
     step = jax.jit(system.train_step)
     state, metrics = step(state, episode, jax.random.PRNGKey(1))
     assert np.isfinite(float(metrics["Total Loss"]))
+
+
+def test_t2u_alignment_saver(tmp_path):
+    """Validation-time T2U alignment heatmap artifact (reference T2U saver
+    alignment figures)."""
+    from fscl_tpu.obs.t2u_saver import T2UAlignmentSaver
+    from fscl_tpu.systems.t2u import T2UBatch, TacoT2USystem
+    rng = np.random.default_rng(0)
+    batch = T2UBatch(
+        speaker_args=np.zeros(B, np.int32),
+        texts=rng.integers(1, 10, (B, L)).astype(np.int32),
+        src_lens=np.array([L, L - 1], np.int32),
+        units=rng.integers(1, TCFG.n_units, (B, TU)).astype(np.int32),
+        unit_lens=np.full((B,), TU, np.int32),
+        lang_ids=np.zeros(B, np.int32),
+    )
+    system = TacoT2USystem(ModelConfig(), OptimConfig(), (("en", 10),), TCFG)
+    state = system.init_state(jax.random.PRNGKey(0), batch)
+    saver = T2UAlignmentSaver(str(tmp_path), system, synth_step=1)
+    saver.on_validation_sample(1, state, batch)
+    import os
+    assert os.path.isfile(str(tmp_path / "step1_alignment.png"))
