@@ -1,0 +1,121 @@
+"""CLI contract: train then synth as a user would (subprocess).
+
+Locks the end-user entry points: `fscl_tpu train --system baseline` on a
+tiny on-disk corpus, then `fscl_tpu synth` from the produced checkpoint
+(reference flow: main.py train stage -> inference; SURVEY §3).
+"""
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+ENV = {**os.environ, "PYTHONPATH": REPO,
+       "JAX_PLATFORMS": "cpu",
+       "XLA_FLAGS": "--xla_force_host_platform_device_count=1"}
+
+PHONES = ["HH", "AY1", "W", "ER1", "L", "D"]
+
+
+def synth_textgrid(phones, seg_dur=0.12, lead=0.05):
+    xmax = lead + len(phones) * seg_dur + 0.05
+    intervals = [(0.0, lead, "")]
+    t = lead
+    for p in phones:
+        intervals.append((t, t + seg_dur, p))
+        t += seg_dur
+    intervals.append((t, xmax, ""))
+    body = "".join(
+        f"        intervals [{i+1}]:\n"
+        f"            xmin = {a}\n            xmax = {b}\n"
+        f"            text = \"{p}\"\n"
+        for i, (a, b, p) in enumerate(intervals))
+    return (
+        'File type = "ooTextFile"\nObject class = "TextGrid"\n\n'
+        f"xmin = 0\nxmax = {xmax}\ntiers? <exists>\nsize = 1\nitem []:\n"
+        "    item [1]:\n        class = \"IntervalTier\"\n"
+        "        name = \"phones\"\n"
+        f"        xmin = 0\n        xmax = {xmax}\n"
+        f"        intervals: size = {len(intervals)}\n" + body)
+
+
+@pytest.fixture(scope="module")
+def cli_corpus(tmp_path_factory):
+    # CPU-forced in-process (conftest already pins cpu) corpus build
+    from fscl_tpu.core.config import DataConfig  # noqa: F401
+    from fscl_tpu.data.feature_store import (
+        FeatureStore, write_queries_to_txt,
+    )
+    from fscl_tpu.dsp.audio_io import save_wav
+    from fscl_tpu.dsp.preprocess import (
+        compute_stats, prepare_initial_features, preprocess_utterance,
+    )
+
+    root = tmp_path_factory.mktemp("cli_corpus")
+    store = FeatureStore(str(root / "features"))
+    rng = np.random.default_rng(0)
+    sr = 22050
+    queries, samples = [], []
+    for i in range(3):
+        phones = [PHONES[int(j)] for j in rng.integers(0, len(PHONES), 5)]
+        dur = 0.05 + 5 * 0.12 + 0.05
+        t = np.arange(int(sr * dur)) / sr
+        wav = (0.4 * np.sin(2 * np.pi * (150 + 20 * i) * t)
+               + 0.05 * rng.normal(size=len(t))).astype(np.float32)
+        wav_path = str(root / f"u{i}.wav")
+        save_wav(wav_path, wav, sr)
+        tg = str(root / f"u{i}.TextGrid")
+        with open(tg, "w") as f:
+            f.write(synth_textgrid(phones))
+        q = {"spk": "spk0", "basename": f"u{i}"}
+        prepare_initial_features(store, q, wav_path, "dummy")
+        s = preprocess_utterance(store, q, tg)
+        assert s is not None
+        samples.append(s)
+        queries.append(q)
+    compute_stats(samples, store)
+    store.save_speakers(["spk0"])
+    store.flush()
+    os.makedirs(root / "splits", exist_ok=True)
+    write_queries_to_txt(store, queries, str(root / "splits" / "train.txt"))
+    with open(root / "data.yaml", "w") as f:
+        f.write(
+            "name: cli-mini\nlang_id: 0\nsymbol_id: en\n"
+            f"data_dir: {store.root}\n"
+            "text_cleaners: [basic_cleaners]\n"
+            "subsets:\n  train: splits/train.txt\n")
+    with open(root / "model.yaml", "w") as f:
+        f.write(
+            "transformer:\n  encoder_layer: 1\n  decoder_layer: 1\n"
+            "  encoder_hidden: 32\n  decoder_hidden: 32\n"
+            "  conv_filter_size: 32\n  encoder_head: 2\n  decoder_head: 2\n"
+            "max_seq_len: 64\n")
+    return root
+
+
+def run_cli(*args, timeout=420):
+    return subprocess.run(
+        [sys.executable, "-m", "fscl_tpu.cli", *args],
+        capture_output=True, text=True, timeout=timeout, env=ENV, cwd=REPO)
+
+
+@pytest.mark.slow
+def test_cli_train_then_synth(cli_corpus, tmp_path):
+    exp = str(tmp_path / "exp")
+    r = run_cli("train", "--system", "baseline",
+                "--data_config", str(cli_corpus / "data.yaml"),
+                "--model_config", str(cli_corpus / "model.yaml"),
+                "--exp_dir", exp, "--total_step", "1")
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "done at step 1" in r.stdout
+    assert "Total Loss" in r.stdout       # final-step loss line
+
+    out_wav = str(tmp_path / "out.wav")
+    r2 = run_cli("synth", "--ckpt_dir", os.path.join(exp, "ckpt"),
+                 "--data_config", str(cli_corpus / "data.yaml"),
+                 "--model_config", str(cli_corpus / "model.yaml"),
+                 "--text", "{HH AY1 W ER1 L D}", "--output", out_wav)
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    assert os.path.isfile(out_wav) and os.path.getsize(out_wav) > 100
