@@ -19,18 +19,21 @@ import jax.numpy as jnp
 from jax import lax
 
 
-def conv1d_im2col(x, kernel, bias=None):
-    """x (B, T, Cin), kernel (k, Cin, Cout) -> (B, T, Cout), SAME padding
-    (odd k). One matmul over the unfolded input."""
+def conv1d_im2col(x, kernel, bias=None, dilation: int = 1):
+    """x (B, T, Cin), kernel (k, Cin, Cout) -> (B, T, Cout), SAME padding.
+    One matmul over the unfolded input; `dilation` spaces the taps
+    (HiFi-GAN ResBlock convs)."""
     B, T, Cin = x.shape
     k, _, Cout = kernel.shape
     if k == 1:
         out = x.reshape(B * T, Cin) @ kernel.reshape(Cin, Cout)
     else:
-        pads = (k - 1) // 2
-        xp = jnp.pad(x, ((0, 0), (pads, k - 1 - pads), (0, 0)))
+        span = (k - 1) * dilation
+        pads = span // 2
+        xp = jnp.pad(x, ((0, 0), (pads, span - pads), (0, 0)))
         cols = jnp.concatenate(
-            [lax.dynamic_slice_in_dim(xp, j, T, axis=1) for j in range(k)],
+            [lax.dynamic_slice_in_dim(xp, j * dilation, T, axis=1)
+             for j in range(k)],
             axis=-1)
         out = cols.reshape(B * T, k * Cin) @ kernel.reshape(k * Cin, Cout)
     out = out.reshape(B, T, Cout)

@@ -41,3 +41,16 @@ def test_even_kernel_matches_nn_conv():
     got = conv1d_im2col(x, v["params"]["kernel"], v["params"]["bias"])
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=1e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize("k,d", [(3, 2), (5, 3), (3, 1)])
+def test_dilated_matches_nn_conv(k, d):
+    B, T, Cin, Cout = 2, 32, 8, 8
+    x = jax.random.normal(jax.random.PRNGKey(0), (B, T, Cin))
+    ref = nn.Conv(Cout, (k,), padding="SAME", kernel_dilation=(d,))
+    v = ref.init(jax.random.PRNGKey(1), x)
+    want = ref.apply(v, x)
+    got = conv1d_im2col(x, v["params"]["kernel"], v["params"]["bias"],
+                        dilation=d)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
