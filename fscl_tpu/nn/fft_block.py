@@ -15,7 +15,6 @@ import flax.linen as nn
 import jax.numpy as jnp
 import numpy as np
 
-from fscl_tpu.ops.conv_mxu import MXUConv1D
 from fscl_tpu.ops.attention import attend
 from fscl_tpu.ops.masking import mask_fill
 
@@ -74,9 +73,9 @@ class ConvFFN(nn.Module):
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         residual = x
-        h = MXUConv1D(self.d_inner, self.kernel_size[0], name="w_1")(x)
+        h = nn.Conv(self.d_inner, (self.kernel_size[0],), padding="SAME", name="w_1")(x)
         h = nn.relu(h)
-        h = MXUConv1D(self.d_model, self.kernel_size[1], name="w_2")(h)
+        h = nn.Conv(self.d_model, (self.kernel_size[1],), padding="SAME", name="w_2")(h)
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
         return nn.LayerNorm(name="layer_norm")(h + residual)
 
@@ -192,15 +191,19 @@ class PostNet(nn.Module):
         use_ra = deterministic
         h = x
         for i in range(self.n_convolutions - 1):
-            h = MXUConv1D(self.embedding_dim, self.kernel_size,
-                          name=f"conv_{i}")(h)
+            h = nn.Conv(
+                self.embedding_dim, (self.kernel_size,), padding="SAME",
+                name=f"conv_{i}",
+            )(h)
             h = nn.BatchNorm(
                 use_running_average=use_ra, momentum=0.9, name=f"bn_{i}"
             )(h)
             h = jnp.tanh(h)
             h = nn.Dropout(0.5)(h, deterministic=deterministic)
-        h = MXUConv1D(self.n_mel_channels, self.kernel_size,
-                      name=f"conv_{self.n_convolutions - 1}")(h)
+        h = nn.Conv(
+            self.n_mel_channels, (self.kernel_size,), padding="SAME",
+            name=f"conv_{self.n_convolutions - 1}",
+        )(h)
         h = nn.BatchNorm(
             use_running_average=use_ra, momentum=0.9,
             name=f"bn_{self.n_convolutions - 1}",
