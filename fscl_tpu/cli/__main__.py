@@ -17,6 +17,9 @@ def main(argv=None):
     p.add_argument("--textgrid_dir", default=None,
                    help="directory of MFA TextGrids (required for --preprocess)")
     p.add_argument("--parse_raw", action="store_true")
+    p.add_argument("--prepare_mfa", default=None, metavar="MFA_DATA_DIR",
+                   help="stage wav+txt pairs for the external `mfa align` "
+                        "CLI (prints the exact command to run next)")
     p.add_argument("--preprocess", action="store_true")
     p.add_argument("--create_dataset", action="store_true")
     p.add_argument("--n_workers", type=int, default=4)

@@ -16,6 +16,14 @@ def run(args):
                                n_workers=args.n_workers, limit=limit)
         print(f"[parse_raw] {len(queries)} utterances")
 
+    if getattr(args, "prepare_mfa", None):
+        from fscl_tpu.data.scripts import mfa_align_command, prepare_mfa_corpus
+        n = prepare_mfa_corpus(store, args.prepare_mfa)
+        print(f"[prepare_mfa] staged {n} wav+txt pairs in {args.prepare_mfa}")
+        print("[prepare_mfa] next: " + mfa_align_command(
+            args.prepare_mfa, "<lexicon.txt>", "<acoustic_model.zip>",
+            os.path.join(args.output_dir, "TextGrid")))
+
     if args.preprocess:
         assert args.textgrid_dir, "--preprocess requires --textgrid_dir"
         from fscl_tpu.dsp.preprocess import compute_stats, preprocess_utterance

@@ -94,3 +94,44 @@ def merge_global_stats(stats_paths: Sequence[str],
     if output_path:
         merged.to_json(output_path)
     return merged
+
+
+def prepare_mfa_corpus(store, mfa_data_dir: str, queries=None,
+                       sr: int = 16000) -> int:
+    """Stage the corpus for the external `mfa align` CLI: per-speaker
+    directories of <basename>.wav + <basename>.txt transcript pairs
+    (reference Preprocessor.prepare_mfa, Parsers/css10.py:82-103 — there
+    via hard links to raw wavs; here wavs are materialized from the 16 kHz
+    feature store since features live as arrays)."""
+    import numpy as np
+
+    from fscl_tpu.dsp.audio_io import save_wav
+
+    queries = queries if queries is not None else store.load_metadata()
+    n = 0
+    for q in queries:
+        query = {"spk": q["spk"], "basename": q["basename"]}
+        if not store.wav_16000.exists(query):
+            continue
+        text = store.text.read_from_query(query)
+        if not text:
+            continue
+        spk_dir = os.path.join(mfa_data_dir, q["spk"])
+        os.makedirs(spk_dir, exist_ok=True)
+        wav = np.asarray(store.wav_16000.read_from_query(query))
+        save_wav(os.path.join(spk_dir, q["basename"] + ".wav"), wav, sr)
+        with open(os.path.join(spk_dir, q["basename"] + ".txt"), "w",
+                  encoding="utf-8") as f:
+            f.write(str(text))
+        n += 1
+    return n
+
+
+def mfa_align_command(mfa_data_dir: str, dictionary_path: str,
+                      acoustic_model_path: str, output_dir: str,
+                      n_jobs: int = 8) -> str:
+    """The `mfa align` invocation the reference issues after prepare_mfa
+    (Parsers/css10.py:105-111). MFA stays an external stage; this returns
+    the exact command for the user (or an orchestrator) to run."""
+    return (f"mfa align {mfa_data_dir} {dictionary_path} "
+            f"{acoustic_model_path} {output_dir} -j {n_jobs} -v --clean")

@@ -86,3 +86,39 @@ def test_cli_preprocess_ljspeech_layout(tmp_path):
     sample = ds[0]
     assert sample["mel"].shape[1] == 80
     assert len(sample["phonemes"]) == 2
+
+
+@pytest.mark.slow
+def test_cli_prepare_mfa_stage(tmp_path):
+    """--prepare_mfa stages per-speaker wav+txt pairs for the external
+    `mfa align` CLI and prints the exact next command
+    (Parsers/css10.py:82-111 prepare_mfa + mfa)."""
+    from fscl_tpu.dsp.audio_io import save_wav
+
+    corpus = tmp_path / "LJSpeech"
+    (corpus / "wavs").mkdir(parents=True)
+    sr = 22050
+    lines = []
+    for i in range(2):
+        name = f"LJ002-{i:04d}"
+        t = np.arange(int(sr * 0.8)) / sr
+        wav = (0.3 * np.sin(2 * np.pi * 180 * t)).astype(np.float32)
+        save_wav(str(corpus / "wavs" / f"{name}.wav"), wav, sr)
+        lines.append(f"{name}|Raw {i}|Normalized text {i}")
+    (corpus / "metadata.csv").write_text("\n".join(lines) + "\n")
+
+    out = tmp_path / "features"
+    mfa_dir = tmp_path / "mfa_data"
+    r = subprocess.run(
+        [sys.executable, "-m", "fscl_tpu.cli", "preprocess",
+         str(corpus), str(out), "--parser", "LJSpeech",
+         "--parse_raw", "--prepare_mfa", str(mfa_dir), "--n_workers", "1"],
+        capture_output=True, text=True, timeout=600, env=ENV, cwd=REPO)
+    assert r.returncode == 0, r.stderr[-800:]
+    assert "staged 2 wav+txt pairs" in r.stdout
+    assert "mfa align" in r.stdout
+    wavs = list((mfa_dir / "LJSpeech").glob("*.wav"))
+    txts = list((mfa_dir / "LJSpeech").glob("*.txt"))
+    assert len(wavs) == 2 and len(txts) == 2
+    text = (mfa_dir / "LJSpeech" / "LJ002-0000.txt").read_text()
+    assert "Normalized text 0" in text
