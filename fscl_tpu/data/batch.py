@@ -17,7 +17,7 @@ import numpy as np
 
 
 class Batch(NamedTuple):
-    speaker_args: np.ndarray    # (B,) int32 speaker ids (or mel slices)
+    speaker_args: np.ndarray    # (B,) int32 speaker ids, or DvecRefs
     texts: np.ndarray           # (B, L) int32 phoneme ids
     src_lens: np.ndarray        # (B,) int32
     mels: np.ndarray            # (B, T, n_mels) float32
@@ -111,6 +111,8 @@ def collate_batch(
 ) -> Tuple[BatchMeta, Batch]:
     """Samples are dicts with keys: id, text (str), phonemes (int array),
     mel (T, n_mels), pitch, energy, duration, speaker (int), lang_id (int).
+    `dvec_slices`: when set and samples carry spk_ref_mel_slices, emit
+    DvecRefs (padded to that static slice count) as speaker_args.
     Equivalent of reprocess() (collates/utils.py:8-112), static-shaped.
     """
     src_lens = np.array([len(s["phonemes"]) for s in samples], dtype=np.int32)
