@@ -141,7 +141,9 @@ class FastSpeech2DataModule(BaseDataModule):
 
 
 @DATAMODULES.register("fscl", "fscl-orig", "fscl-orig2", "maml",
-                      "semi-fscl", "fscl-ada", "fscl-tune-src")
+                      "semi-fscl", "semi-fscl-tune", "fscl-ada",
+                      "fscl-ada1", "fscl-ada2", "fscl-ssl_ada",
+                      "fscl-ssl_ada1", "fscl-ssl_ada2", "fscl-tune-src")
 class FSCLDataModule(BaseDataModule):
     """Meta-episodic loader (FSCLDataModule.py:13-364): labels = language;
     train = infinite episode sampling; val = fixed tasks with deterministic
@@ -199,7 +201,7 @@ class FSCLDataModule(BaseDataModule):
         return out
 
 
-@DATAMODULES.register("tacot2u", "fscl-t2u", "fscl-t2u-orig")
+@DATAMODULES.register("tacot2u", "fscl-t2u-tune", "fscl-t2u-orig-tune")
 class T2UDataModule(BaseDataModule):
     """Text->unit loader (t2u/T2UDataModule.py:13-126)."""
 
@@ -239,7 +241,10 @@ class T2UDataModule(BaseDataModule):
             )
 
 
-@DATAMODULES.register("pr-ssl-linear", "pr-ssl-baseline", "pr-ssl-cluster")
+@DATAMODULES.register("pr-ssl-linear", "pr-ssl-linear-tune",
+                      "pr-ssl-baseline", "pr-ssl-baseline-tune",
+                      "pr-ssl-cluster", "pr-ssl-cluster-tune",
+                      "pr-trans-head", "pr-trans-head-tune")
 class PRDataModule(BaseDataModule):
     """SSL PR loader with same-dataset batches (MultiTaskSampler semantics:
     every batch comes from ONE dataset so the per-language head is
@@ -337,3 +342,29 @@ class PREpisodicDataModule(BaseDataModule):
 def get_datamodule(algorithm_type: str):
     """(lightning/datamodules/__init__.py:49-50)."""
     return DATAMODULES.get(algorithm_type)
+
+
+@DATAMODULES.register("conti-ae")
+class ContiAEDataModule(BaseDataModule):
+    """Speech-reconstruction loader for ContiAE (language
+    ContiAEDataModule): raw 16 kHz wav (SSL input) + target mel, bucketed
+    static shapes."""
+
+    def setup(self):
+        from fscl_tpu.data.datasets import ContiAEDataset
+        datasets = []
+        for dc in self.data_configs:
+            path = dc.subset_path("train")
+            if path and os.path.isfile(path):
+                datasets.append(
+                    ContiAEDataset(path, self.stores[dc.name], dc))
+        self.train_set = ConcatDataset(datasets)
+
+    def train_batches(self):
+        from fscl_tpu.data.datasets import collate_conti_ae
+        rng = np.random.default_rng(self.train_cfg.seed)
+        bs = self.train_cfg.optim.batch_size
+        n = len(self.train_set)
+        while True:
+            yield collate_conti_ae(
+                [self.train_set[int(i)] for i in rng.integers(0, n, bs)])

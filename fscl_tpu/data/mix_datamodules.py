@@ -36,7 +36,8 @@ def _collate_t2u(samples):
         lang_ids=np.array([s["lang_id"] for s in samples], np.int32))
 
 
-@DATAMODULES.register("fscl-t2u-e2e-tune")
+@DATAMODULES.register("fscl-t2u-e2e-tune", "fscl-t2u-orig-e2e-tune",
+                      "fscl-t2u-c-e2e-tune", "fscl-t2u-c2-e2e-tune")
 class T2U2SDataModule(BaseDataModule):
     """Paired t2u + u2s batches from the same utterances
     (t2u/MixDataModule.py T2U2SDataModule): the u2s side uses the unit
@@ -87,7 +88,9 @@ class T2U2SDataModule(BaseDataModule):
             yield E2EBatch(t2u=t2u, u2s=u2s)
 
 
-@DATAMODULES.register("fscl-t2u-episodic", "fscl-t2u-orig-episodic")
+@DATAMODULES.register("fscl-t2u", "fscl-t2u-orig", "fscl-t2u-codebook",
+                      "fscl-t2u-codebook2", "fscl-t2u-c", "fscl-t2u-c2",
+                      "fscl-t2u-episodic", "fscl-t2u-orig-episodic")
 class T2UEpisodicDataModule(BaseDataModule):
     """Episodic T2U loader (t2u FSCLDataModule over FSCLdataset.py:64-117):
     episodes of (support raw speech + query text->unit batches) with the
@@ -157,6 +160,33 @@ class T2UDADataModule(BaseDataModule):
             TU = t2u.units.shape[1]
             yield DABatch(
                 t2u=t2u,
+                real_units=pad_1d([r["units"] for r in real], TU,
+                                  dtype=np.int32),
+                real_unit_lens=np.array(
+                    [min(len(r["units"]), TU) for r in real], np.int32))
+
+
+@DATAMODULES.register("fscl-t2u-da-e2e-tune", "fscl-t2u-dae2e-tune",
+                      "fscl-t2u-c-da-e2e-tune", "fscl-t2u-c2-da-e2e-tune")
+class T2U2SDADataModule(T2U2SDataModule):
+    """Paired t2u+u2s batches PLUS an independent real-unit stream for the
+    gradient-reversal discriminator (t2u/MixDataModule.py T2U2SDADataModule
+    = T2U2S pairing + DA loader)."""
+
+    def train_batches(self):
+        from fscl_tpu.systems.t2u_tune import DAE2EBatch
+        rng = np.random.default_rng(self.train_cfg.seed)
+        bs = self.train_cfg.optim.batch_size
+        while True:
+            dc, ds = self.pairs[int(rng.integers(0, len(self.pairs)))]
+            samples = [ds[int(i)] for i in rng.integers(0, len(ds), bs)]
+            real = [ds[int(i)] for i in rng.integers(0, len(ds), bs)]
+            t2u = _collate_t2u(samples)
+            u2s_samples = [self._u2s_sample(dc, s) for s in samples]
+            _, u2s = collate_batch(u2s_samples)
+            TU = t2u.units.shape[1]
+            yield DAE2EBatch(
+                t2u=t2u, u2s=u2s,
                 real_units=pad_1d([r["units"] for r in real], TU,
                                   dtype=np.int32),
                 real_unit_lens=np.array(

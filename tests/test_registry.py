@@ -44,3 +44,14 @@ def test_get_system_and_datamodule_lookup():
     assert get_datamodule("fscl").__name__ == "FSCLDataModule"
     with pytest.raises(KeyError):
         get_system("no-such-system")
+
+
+def test_every_system_has_a_datamodule():
+    """CLI generic train path needs both registries aligned
+    (lightning/datamodules/__init__.py:6-50 key map)."""
+    import fscl_tpu.data.datamodules  # noqa: F401
+    import fscl_tpu.data.mix_datamodules  # noqa: F401
+    import fscl_tpu.systems  # noqa: F401
+    from fscl_tpu.core.registry import DATAMODULES, SYSTEMS
+    missing = set(SYSTEMS._items) - set(DATAMODULES._items)
+    assert not missing, f"systems without datamodule: {sorted(missing)}"
