@@ -94,12 +94,15 @@ def run(args):
     else:
         # generic path: factory + registered datamodule
         import fscl_tpu.data.mix_datamodules  # noqa: F401 (register)
-        from fscl_tpu.data.datamodules import get_datamodule
+        from fscl_tpu.data.datamodules import (
+            datamodule_kwargs_for, get_datamodule,
+        )
         from fscl_tpu.systems.factory import build_system
         system = build_system(args.system, model_cfg, train_cfg.optim,
                               data_configs, algo_cfg)
         dm = get_datamodule(args.system)(data_configs, model_cfg, train_cfg,
-                                         exp_dir=args.exp_dir)
+                                         exp_dir=args.exp_dir,
+                                         **datamodule_kwargs_for(args.system, algo_cfg))
         dm.setup()
         batches = dm.train_batches
         example = next(batches())

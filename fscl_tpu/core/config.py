@@ -353,6 +353,18 @@ def model_config_from_yaml(path: str) -> ModelConfig:
         multi_speaker=raw.get("multi_speaker", True),
         multi_lingual=raw.get("multi_lingual", True),
     )
+    # SSL upstream selection: `upstream: <name>` (Define.set_upstream) or a
+    # dict with explicit dims for custom/tiny upstreams
+    up = raw.get("upstream")
+    if isinstance(up, str):
+        cfg = replace(cfg, upstream=UpstreamConfig.from_name(
+            up, raw.get("layer_idx")))
+    elif isinstance(up, dict):
+        cfg = replace(cfg, upstream=UpstreamConfig(
+            name=up.get("name", "hubert_large_ll60k"),
+            dim=up.get("dim", 1024),
+            n_layers=up.get("n_layers", 25),
+            layer_idx=up.get("layer_idx")))
     # reference model YAMLs select the speaker path with a top-level
     # `speaker_emb` key (config/model/fscl-fastspeech2.yaml:44 "dvec")
     spk = raw.get("speaker", {})

@@ -368,3 +368,28 @@ class ContiAEDataModule(BaseDataModule):
         while True:
             yield collate_conti_ae(
                 [self.train_set[int(i)] for i in rng.integers(0, n, bs)])
+
+
+_EPISODIC_KEYS = ("fscl", "fscl-orig", "fscl-orig2", "maml", "semi-fscl",
+                  "semi-fscl-tune", "fscl-ada", "fscl-ada1", "fscl-ada2",
+                  "fscl-ssl_ada", "fscl-ssl_ada1", "fscl-ssl_ada2",
+                  "fscl-tune-src")
+
+
+def datamodule_kwargs_for(algorithm: str, algo_cfg=None) -> dict:
+    """Per-algorithm constructor kwargs for the generic datamodule path:
+    MAML-style systems need the support set as a full batch for inner-loop
+    losses (collate_episode with_sup_batch), the SSL-ADA unsupervised
+    stages need the query set's raw speech (with_qry_wavs), and episodic
+    modules take shots/queries from the algorithm config. The reference
+    encodes this inside per-system collates (FSCLCollate variants) +
+    few_shot_task_dataset args."""
+    kw = {}
+    if algorithm in ("fscl-orig2", "maml", "semi-fscl", "semi-fscl-tune"):
+        kw["with_sup_batch"] = True
+    if "ssl_ada" in algorithm:
+        kw["with_qry_wavs"] = True
+    if algo_cfg is not None and algorithm in _EPISODIC_KEYS:
+        kw["shots"] = algo_cfg.adapt.shots
+        kw["queries"] = algo_cfg.adapt.queries
+    return kw

@@ -152,10 +152,16 @@ class SSLUpstream(nn.Module):
         return hidden, frame_valid
 
 
-def make_upstream(name: str = "hubert_large_ll60k") -> SSLUpstream:
+def make_upstream(name: str = "hubert_large_ll60k", cfg=None) -> SSLUpstream:
+    """`cfg` (core.config.UpstreamConfig) overrides dims for custom/tiny
+    upstreams (smoke runs, unit tests); known names keep released shapes."""
     if name in ("hubert", "wav2vec2"):      # base models: 768d, 12 layers
         return SSLUpstream(dim=768, n_layers=12, n_heads=12, ffn_dim=3072,
                            layer_norm_first=False)
+    if cfg is not None and cfg.dim != 1024:
+        dim = cfg.dim
+        return SSLUpstream(dim=dim, n_layers=max(cfg.n_layers - 1, 1),
+                           n_heads=max(dim // 64, 2), ffn_dim=4 * dim)
     return SSLUpstream()                     # large: 1024d, 24 layers
 
 

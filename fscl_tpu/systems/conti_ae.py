@@ -53,7 +53,7 @@ class ContiAESystem(System):
         super().__init__(optim_cfg)
         self.model_cfg = model_cfg
         self.layer_idx = layer_idx
-        self.upstream = upstream or make_upstream(model_cfg.upstream.name)
+        self.upstream = upstream or make_upstream(model_cfg.upstream.name, model_cfg.upstream)
         self.model = FastSpeech2(model_cfg, stats)
         self.embed = nn.Dense(model_cfg.transformer.encoder_hidden)
         self.upstream_params: Optional[Dict[str, Any]] = None

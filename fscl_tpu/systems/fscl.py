@@ -60,7 +60,7 @@ class TransEmbSystem(System):
         self.model_cfg = model_cfg
         self.stats = stats
         self.n_symbols = n_symbols
-        self.upstream = upstream or make_upstream(model_cfg.upstream.name)
+        self.upstream = upstream or make_upstream(model_cfg.upstream.name, model_cfg.upstream)
         self.codebook = SoftMultiAttCodebook2(
             codebook_size=model_cfg.codebook.size,
             dim=model_cfg.transformer.encoder_hidden,

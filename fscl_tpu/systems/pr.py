@@ -61,7 +61,7 @@ class _SSLPRBase(System):
         super().__init__(optim_cfg)
         self.model_cfg = model_cfg
         self.id2symbols = id2symbols
-        self.upstream = upstream or make_upstream(model_cfg.upstream.name)
+        self.upstream = upstream or make_upstream(model_cfg.upstream.name, model_cfg.upstream)
         self.upstream_params: Optional[Dict[str, Any]] = None
 
     def init_upstream(self, rng, example_wav) -> None:

@@ -126,7 +126,7 @@ class TransEmbT2USystem(System):
         self.model_cfg = model_cfg
         self.t2u_cfg = t2u_cfg
         self.n_symbols = n_symbols
-        self.upstream = upstream or make_upstream(model_cfg.upstream.name)
+        self.upstream = upstream or make_upstream(model_cfg.upstream.name, model_cfg.upstream)
         self.embedding_generator = Downstream1(
             n_in_layers=model_cfg.upstream.n_layers,
             d_model=t2u_cfg.symbols_embedding_dim,

@@ -81,3 +81,14 @@ def test_model_yaml_speaker_emb(tmp_path):
     p2 = tmp_path / "m2.yaml"
     p2.write_text("multi_speaker: True\n")
     assert model_config_from_yaml(str(p2)).speaker.emb_type == "table"
+
+
+def test_model_yaml_upstream(tmp_path):
+    p = tmp_path / "m.yaml"
+    p.write_text("upstream: hubert\n")
+    cfg = model_config_from_yaml(str(p))
+    assert cfg.upstream.dim == 768 and cfg.upstream.n_layers == 13
+    p2 = tmp_path / "m2.yaml"
+    p2.write_text("upstream:\n  name: tiny\n  dim: 16\n  n_layers: 2\n")
+    cfg2 = model_config_from_yaml(str(p2))
+    assert cfg2.upstream.dim == 16 and cfg2.upstream.n_layers == 2

@@ -55,3 +55,14 @@ def test_every_system_has_a_datamodule():
     from fscl_tpu.core.registry import DATAMODULES, SYSTEMS
     missing = set(SYSTEMS._items) - set(DATAMODULES._items)
     assert not missing, f"systems without datamodule: {sorted(missing)}"
+
+
+def test_datamodule_kwargs_routing():
+    from fscl_tpu.data.datamodules import datamodule_kwargs_for
+    assert datamodule_kwargs_for("fscl-orig2") == {"with_sup_batch": True}
+    from fscl_tpu.core.config import AlgorithmConfig, AdaptConfig
+    cfg = AlgorithmConfig(adapt=AdaptConfig(shots=4, queries=2))
+    kw = datamodule_kwargs_for("fscl-orig2", cfg)
+    assert kw["shots"] == 4 and kw["queries"] == 2 and kw["with_sup_batch"]
+    assert datamodule_kwargs_for("fscl-ssl_ada1") == {"with_qry_wavs": True}
+    assert datamodule_kwargs_for("baseline") == {}
