@@ -66,6 +66,17 @@ def main(argv=None):
     e.add_argument("dir")
     e.add_argument("--metric", choices=["per", "fer", "both"], default="both")
 
+    mu = sub.add_parser("make-units",
+                        help="pseudo-unit discovery (k-means + DPDP) into "
+                             "ssl_units/<name>")
+    mu.add_argument("features_dir")
+    mu.add_argument("--unit_name", required=True)
+    mu.add_argument("--n_units", type=int, default=64)
+    mu.add_argument("--source", default="mel",
+                    help="mel (default) or an SSL upstream name")
+    mu.add_argument("--seed", type=int, default=0)
+    mu.add_argument("--limit", type=int, default=None)
+
     c = sub.add_parser("clean", help="data validation / filtering")
     c.add_argument("data_dir")
     c.add_argument("--output", default=None)
@@ -79,6 +90,8 @@ def main(argv=None):
         from fscl_tpu.cli.tune_cmd import run
     elif args.command == "synth":
         from fscl_tpu.cli.synth_cmd import run
+    elif args.command == "make-units":
+        from fscl_tpu.cli.make_units_cmd import run
     elif args.command == "evaluate":
         from fscl_tpu.cli.evaluate_cmd import run
     elif args.command == "clean":

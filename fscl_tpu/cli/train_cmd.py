@@ -40,6 +40,19 @@ def run(args):
     if args.total_step:
         train_cfg = dataclasses.replace(train_cfg, total_step=args.total_step)
 
+    # register pseudo-unit inventories recorded by `make-units`
+    # (reference: build_id2symbols adds common_symbols + unit ids,
+    # lightning/build.py:24-31)
+    from fscl_tpu.frontend import register_unit_symbols
+    for dc in data_configs:
+        if dc.unit_name and dc.unit_name not in LANG_ID2SYMBOLS:
+            attrs = FeatureStore(dc.data_dir).get_ssl_unit_store(
+                dc.unit_name).load_attrs()
+            assert "n_units" in attrs, (
+                f"unit set '{dc.unit_name}' not found in {dc.data_dir}: "
+                "run `fscl_tpu make-units` first")
+            register_unit_symbols(dc.unit_name, attrs["n_units"])
+
     id2symbols = tuple(
         (dc.symbol_id, len(LANG_ID2SYMBOLS[dc.symbol_id]))
         for dc in data_configs)

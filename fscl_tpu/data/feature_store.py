@@ -116,6 +116,20 @@ class UnitStore:
         for name in UNIT_JSON_FEATURES:
             getattr(self, name).flush()
 
+    def save_attrs(self, attrs: Dict[str, Any]) -> None:
+        """Unit-inventory metadata (n_units, source) so consumers can
+        register the symbol set without out-of-band knowledge."""
+        os.makedirs(self.root, exist_ok=True)
+        with open(os.path.join(self.root, "attrs.json"), "w") as f:
+            json.dump(attrs, f)
+
+    def load_attrs(self) -> Dict[str, Any]:
+        path = os.path.join(self.root, "attrs.json")
+        if not os.path.isfile(path):
+            return {}
+        with open(path) as f:
+            return json.load(f)
+
 
 class FeatureStore:
     def __init__(self, root: str):

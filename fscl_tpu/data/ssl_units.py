@@ -31,11 +31,13 @@ def generate_ssl_units(
     unit_store = store.get_ssl_unit_store(unit_name)
     queries = queries if queries is not None else store.load_metadata()
     n_done = 0
+    n_units = None
     for q in queries:
         try:
             logits = np.asarray(frame_logits_fn(q))
         except Exception:
             continue
+        n_units = logits.shape[-1]
         logp = logits - np.max(logits, axis=-1, keepdims=True)
         logp = logp - np.log(np.sum(np.exp(logp), -1, keepdims=True))
         segments, labels = dpdp_decode(logp, lam=lam)
@@ -64,6 +66,8 @@ def generate_ssl_units(
             unit_store.duration_avg_energy.save(np.asarray(avg_e, np.float32), q)
         n_done += 1
     unit_store.flush()
+    if n_units is not None:
+        unit_store.save_attrs({"n_units": int(n_units), "fp": fp})
     return n_done
 
 

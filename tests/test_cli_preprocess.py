@@ -122,3 +122,52 @@ def test_cli_prepare_mfa_stage(tmp_path):
     assert len(wavs) == 2 and len(txts) == 2
     text = (mfa_dir / "LJSpeech" / "LJ002-0000.txt").read_text()
     assert "Normalized text 0" in text
+
+
+@pytest.mark.slow
+def test_cli_make_units_then_unit_dataset(tmp_path):
+    """make-units populates ssl_units/<name> (+attrs) usable by t2u
+    datasets (reference: DPDP unit discovery -> SSLUnitParser features)."""
+    from fscl_tpu.dsp.audio_io import save_wav
+
+    corpus = tmp_path / "LJSpeech"
+    (corpus / "wavs").mkdir(parents=True)
+    sr = 22050
+    lines = []
+    tg_dir = tmp_path / "tg" / "LJSpeech"
+    tg_dir.mkdir(parents=True)
+    for i in range(3):
+        name = f"LJ003-{i:04d}"
+        t = np.arange(int(sr * 1.2)) / sr
+        wav = (0.4 * np.sin(2 * np.pi * (170 + 30 * i) * t)).astype(np.float32)
+        save_wav(str(corpus / "wavs" / f"{name}.wav"), wav, sr)
+        lines.append(f"{name}|Text {i}|Text {i}")
+        with open(tg_dir / f"{name}.TextGrid", "w") as f:
+            f.write(TG)
+    (corpus / "metadata.csv").write_text("\n".join(lines) + "\n")
+
+    out = tmp_path / "features"
+    r = subprocess.run(
+        [sys.executable, "-m", "fscl_tpu.cli", "preprocess",
+         str(corpus), str(out), "--parser", "LJSpeech",
+         "--parse_raw", "--preprocess",
+         "--textgrid_dir", str(tmp_path / "tg"),
+         "--create_dataset", "--n_workers", "1"],
+        capture_output=True, text=True, timeout=600, env=ENV, cwd=REPO)
+    assert r.returncode == 0, r.stderr[-800:]
+
+    r2 = subprocess.run(
+        [sys.executable, "-m", "fscl_tpu.cli", "make-units", str(out),
+         "--unit_name", "test-units", "--n_units", "4"],
+        capture_output=True, text=True, timeout=600, env=ENV, cwd=REPO)
+    assert r2.returncode == 0, r2.stderr[-800:]
+    assert "3 utterances -> ssl_units/test-units" in r2.stdout
+
+    from fscl_tpu.data.feature_store import FeatureStore
+    us = FeatureStore(str(out)).get_ssl_unit_store("test-units")
+    assert us.load_attrs()["n_units"] == 4
+    q = {"spk": "LJSpeech", "basename": "LJ003-0000"}
+    units = us.phoneme.read_from_query(q)
+    dur = us.duration.read_from_query(q)
+    assert len(units.split()) == len(dur)
+    assert all(0 <= int(u) < 4 for u in units.split())
