@@ -1,6 +1,10 @@
 """Headline benchmark: FastSpeech2 synthesis mel-frames/sec/chip on TPU.
 
-Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+Prints one JSON line per north-star metric from BASELINE.json:
+  1. few_shot_adaptation_inner_loop_steps_per_sec (on-chip lax.scan SGD)
+  2. fastspeech2_synthesis_mel_frames_per_sec_per_chip  (headline, LAST line
+     so single-line parsers pick it up)
+Each line is {"metric", "value", "unit", "vs_baseline"}.
 Baseline = the reference's own FastSpeech2 running no-target synthesis on
 CPU PyTorch (benchmarks/measure_reference_cpu.py; same model size
 enc4/dec6 256d, same batch 8 x len 128).
@@ -77,6 +81,21 @@ def main():
     if os.path.exists(baseline_path):
         with open(baseline_path) as f:
             vs = value / json.load(f)["value"]
+
+    # Secondary north-star metric: few-shot inner-loop adaptation steps/s.
+    # Emitted FIRST so the headline synthesis line stays last (single-line
+    # parsers read the last line). Never let it sink the headline metric.
+    try:
+        import benchmarks.bench_adaptation as ba
+        adapt = ba.main(emit=False)
+        adapt["vs_baseline"] = None  # no CPU reference measurement exists
+        print(json.dumps(adapt))
+    except Exception as e:  # pragma: no cover - defensive
+        print(json.dumps({
+            "metric": "few_shot_adaptation_inner_loop_steps_per_sec",
+            "value": None, "unit": "steps/s", "vs_baseline": None,
+            "error": str(e)[:200],
+        }))
 
     print(json.dumps({
         "metric": "fastspeech2_synthesis_mel_frames_per_sec_per_chip",

@@ -17,7 +17,8 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def main(n_steps: int = 200, B: int = 4, L: int = 64, T: int = 256):
+def main(n_steps: int = 200, B: int = 4, L: int = 64, T: int = 256,
+         emit: bool = True):
     import jax
     jax.config.update("jax_compilation_cache_dir", "/tmp/fscl_tpu_jax_cache")
     import jax.numpy as jnp
@@ -57,14 +58,17 @@ def main(n_steps: int = 200, B: int = 4, L: int = 64, T: int = 256):
         system, state.params, state.batch_stats, batches, lr=1e-4)
     jax.block_until_ready(losses)
     dt = time.time() - t0
-    print(json.dumps({
+    result = {
         "metric": "few_shot_adaptation_inner_loop_steps_per_sec",
         "value": round(n_steps / dt, 1),
         "unit": "steps/s",
         "n_steps": n_steps,
         "loss_first": float(np.asarray(losses)[0]),
         "loss_last": float(np.asarray(losses)[-1]),
-    }))
+    }
+    if emit:
+        print(json.dumps(result))
+    return result
 
 
 if __name__ == "__main__":
