@@ -10,9 +10,12 @@ def main(argv=None):
     sub = parser.add_subparsers(dest="command", required=True)
 
     p = sub.add_parser("preprocess", help="corpus -> feature store")
-    p.add_argument("corpus_dir")
-    p.add_argument("output_dir")
-    p.add_argument("--parser", default="ljspeech",
+    p.add_argument("corpus_dir", nargs="?", default=None)
+    p.add_argument("output_dir", nargs="?", default=None)
+    p.add_argument("--preprocess_config", default=None,
+                   help="config/preprocess/*.yaml bundle; supplies "
+                        "corpus_dir/output_dir/parser defaults")
+    p.add_argument("--parser", default=None,
                    help="raw parser tag (see fscl_tpu.data.parsers)")
     p.add_argument("--textgrid_dir", default=None,
                    help="directory of MFA TextGrids (required for --preprocess)")

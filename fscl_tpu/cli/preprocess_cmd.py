@@ -8,6 +8,18 @@ def run(args):
     from fscl_tpu.data.feature_store import FeatureStore
     from fscl_tpu.data.parsers import parse_corpus
 
+    pre_cfg = None
+    if getattr(args, "preprocess_config", None):
+        from fscl_tpu.core.config import read_preprocess_config
+        pre_cfg = read_preprocess_config(args.preprocess_config)
+        args.corpus_dir = args.corpus_dir or pre_cfg.corpus_path
+        args.output_dir = args.output_dir or pre_cfg.preprocessed_path
+        args.parser = args.parser or pre_cfg.parser
+    assert args.corpus_dir and args.output_dir, (
+        "corpus_dir/output_dir required (positionally or via "
+        "--preprocess_config)")
+    args.parser = args.parser or "LJSpeech"
+
     store = FeatureStore(args.output_dir)
     limit = 128 if args.debug else None
 
@@ -40,7 +52,11 @@ def run(args):
                 print(f"[preprocess] no TextGrid for {q}")
                 continue
             try:
-                s = preprocess_utterance(store, q, tg)
+                kw = {}
+                if pre_cfg is not None:
+                    kw = dict(audio=pre_cfg.audio,
+                              pitch_method=pre_cfg.pitch_method)
+                s = preprocess_utterance(store, q, tg, **kw)
             except Exception as e:  # ignore_errors=True semantics
                 print(f"[preprocess] failed {q}: {e}")
                 continue
@@ -59,11 +75,13 @@ def run(args):
                    if store.mfa_duration.exists(q)]
         speakers = store.load_speakers()
         out = os.path.join(args.output_dir, "splits")
+        vs = (pre_cfg.val_size if pre_cfg is not None and pre_cfg.val_size
+              else 400)
         if len(speakers) > 1:
             split_multispeaker_dataset(store, queries, out)
         else:
             split_monospeaker_dataset(
                 store, queries, out,
-                val_size=min(400, max(1, len(queries) // 10)),
-                test_size=min(400, max(1, len(queries) // 10)))
+                val_size=min(vs, max(1, len(queries) // 10)),
+                test_size=min(vs, max(1, len(queries) // 10)))
         print(f"[create_dataset] splits under {out}")

@@ -117,6 +117,14 @@ class UpstreamConfig:
 
 
 @dataclass(frozen=True)
+class VocoderConfig:
+    """Vocoder selection (reference: config/model/base.yaml `vocoder:` block,
+    lightning/utils/tool.py get_vocoder)."""
+    model: str = "HifiGAN"    # "HifiGAN" | "MelGAN" | "GriffinLim"
+    speaker: str = "universal"  # "universal" | "LJSpeech"
+
+
+@dataclass(frozen=True)
 class ModelConfig:
     transformer: TransformerConfig = field(default_factory=TransformerConfig)
     variance_predictor: VariancePredictorConfig = field(default_factory=VariancePredictorConfig)
@@ -131,6 +139,7 @@ class ModelConfig:
     n_languages: int = 100   # reference fixes language table at 100 entries
     speaker: SpeakerConfig = field(default_factory=SpeakerConfig)
     use_lang_id: bool = True   # NOLID kill-switch (reference: Define.py / fastspeech2m.py:98-101)
+    vocoder: VocoderConfig = field(default_factory=VocoderConfig)
     # dtype policy: "float32" for parity, "bfloat16" for speed
     compute_dtype: str = "float32"
     # rematerialize FFT blocks in backward (jax.checkpoint): HBM <-> FLOPs
@@ -166,17 +175,42 @@ class TrainConfig:
     # input-pipeline depth: batches prepared+placed ahead of the device
     # step by a background thread (0 disables; train/trainer.py)
     prefetch: int = 2
+    # output locations (reference: config/train/*-output.yaml `path:` block);
+    # None -> the CLI's --exp_dir layout
+    ckpt_path: Optional[str] = None
+    log_path: Optional[str] = None
+    result_path: Optional[str] = None
 
 
 @dataclass(frozen=True)
 class AdaptConfig:
-    """Few-shot adaptation (reference: config/algorithm/language/fscl.yaml:33-48)."""
+    """Few-shot adaptation (reference: config/algorithm/language/fscl.yaml:33-48).
+
+    Train episodes use (ways, shots, queries); the test block may override
+    episode sizes (config/algorithm/phoneme_recognition/ssl-baseline.yaml:44-48).
+    """
     ways: int = 1
     shots: int = 32
     queries: int = 8
     adaptation_lr: float = 1e-3
     adaptation_steps: int = 0
     test_adaptation_steps: int = 20000
+    meta_batch_size: int = 1
+    test_shots: Optional[int] = None
+    test_queries: Optional[int] = None
+    test_batch_size: Optional[int] = None
+
+
+@dataclass(frozen=True)
+class PhonemeEmbConfig:
+    """Phoneme-embedding hub selection (reference: the `phoneme_emb` anchor in
+    config/algorithm/**.yaml — `_phn_emb_config.{embedding,codebook}`)."""
+    type: str = "embedding"          # "embedding" | "codebook"
+    size: int = 128
+    representation_dim: int = 1024
+    attention: str = "soft-m"        # "hard" | "soft" | "soft-m"
+    share: bool = False
+    refresh: bool = False
 
 
 @dataclass(frozen=True)
@@ -184,6 +218,16 @@ class AlgorithmConfig:
     type: str = "baseline"          # selects system + datamodule (registry key)
     name: str = "baseline"
     adapt: AdaptConfig = field(default_factory=AdaptConfig)
+    # reference adapt-block extras (config/algorithm/language/fscl.yaml:17-31)
+    adapt_type: str = "lang"            # "spk" | "lang"
+    adapt_class: str = "MAML"           # "MAML" | "iMAML"
+    speaker_emb: Optional[str] = None   # "shared"|"table"|"encoder"|"dvec"
+    phoneme_emb: Optional[PhonemeEmbConfig] = None
+    modules: Tuple[str, ...] = ()       # adapted module names
+    # set for reference algorithm types that upstream itself no longer
+    # registers (commented out of lightning/systems/__init__.py) and that
+    # have no equivalent system here; loaders keep them inspectable
+    deprecated: bool = False
     extra: Tuple[Tuple[str, Any], ...] = ()
 
     def get(self, key: str, default: Any = None) -> Any:
@@ -246,25 +290,69 @@ def read_data_config(path: str) -> DataConfig:
 
 
 def read_algorithm_config(path: str) -> AlgorithmConfig:
-    """Load a reference-style config/algorithm/*.yaml (type + adapt block)."""
+    """Load a config/algorithm/*.yaml in either layout:
+
+    - flat (this repo's native): ``adapt: {ways, shots, queries,
+      adaptation_lr, adaptation_steps, test_adaptation_steps}``
+    - reference-nested (config/algorithm/language/fscl.yaml:17-48):
+      ``adapt: {type, class, speaker_emb, phoneme_emb, modules,
+      task: {...}, train: {steps, meta_batch_size}, test: {steps, ...}}``
+    """
     with open(path) as f:
         raw = yaml.safe_load(f)
-    a = raw.get("adapt", {})
+    a = raw.get("adapt", {}) or {}
+    task = a.get("task", {}) or {}
+    tr = a.get("train", {}) or {}
+    te = a.get("test", {}) or {}
+
+    def pick(key, default):
+        # train block > task anchor > flat adapt block > default
+        return tr.get(key, task.get(key, a.get(key, default)))
+
     adapt = AdaptConfig(
-        ways=a.get("ways", 1),
-        shots=a.get("shots", 32),
-        queries=a.get("queries", 8),
-        adaptation_lr=a.get("adaptation_lr", a.get("lr", 1e-3)),
-        adaptation_steps=a.get("adaptation_steps", a.get("steps", 0)),
-        test_adaptation_steps=a.get("test_adaptation_steps", 20000),
+        ways=pick("ways", 1),
+        shots=pick("shots", 32),
+        queries=pick("queries", 8),
+        adaptation_lr=a.get("adaptation_lr",
+                            tr.get("lr", task.get("lr", a.get("lr", 1e-3)))),
+        adaptation_steps=a.get("adaptation_steps",
+                               tr.get("steps", a.get("steps", 0))),
+        test_adaptation_steps=a.get(
+            "test_adaptation_steps", te.get("steps", 20000)),
+        meta_batch_size=tr.get("meta_batch_size",
+                               a.get("meta_batch_size", 1)),
+        test_shots=te.get("shots") if te.get("shots") != task.get("shots")
+        else None,
+        test_queries=(te.get("queries")
+                      if te.get("queries") != task.get("queries") else None),
+        test_batch_size=te.get("batch_size"),
     )
-    known = {"type", "name", "adapt"}
+    pe = a.get("phoneme_emb")
+    phoneme_emb = None
+    if isinstance(pe, dict):
+        att = pe.get("attention", {}) or {}
+        phoneme_emb = PhonemeEmbConfig(
+            type=pe.get("type", "embedding"),
+            size=pe.get("size", 128),
+            representation_dim=pe.get("representation_dim", 1024),
+            attention=att.get("type", "soft-m"),
+            share=att.get("share", False),
+            refresh=pe.get("refresh", False),
+        )
+    known = {"type", "name", "adapt", "deprecated", "_phn_emb_config"}
     extra = tuple((k, v) for k, v in raw.items() if k not in known
                   and not isinstance(v, (dict, list)))
     return AlgorithmConfig(
         type=raw.get("type", "baseline"),
         name=raw.get("name", raw.get("type", "baseline")),
-        adapt=adapt, extra=extra,
+        adapt=adapt,
+        adapt_type=a.get("type", "lang"),
+        adapt_class=a.get("class", "MAML"),
+        speaker_emb=a.get("speaker_emb"),
+        phoneme_emb=phoneme_emb,
+        modules=tuple(a.get("modules", ()) or ()),
+        deprecated=bool(raw.get("deprecated", False)),
+        extra=extra,
     )
 
 
@@ -294,16 +382,30 @@ def train_config_from_yaml(paths) -> TrainConfig:
         warmup_step=o.get("warm_up_step", o.get("warmup_step", 4000)),
         anneal_steps=tuple(o.get("anneal_steps", (30000, 40000, 50000))),
         anneal_rate=o.get("anneal_rate", 0.3),
-        scheduler=o.get("scheduler_type", "sqrt"),
+        # reference tune configs put scheduler_type at the top level
+        # (config/train/tune-500.yaml:1); optimizer block wins if both
+        scheduler=o.get("scheduler_type",
+                        raw.get("scheduler_type", "sqrt")),
     )
+    # step counts: flat (this repo) or under a `step:` block (reference
+    # config/train/fscl.yaml:11-17)
+    step = raw.get("step", {}) or {}
+
+    def s(key, default):
+        return raw.get(key, step.get(key, default))
+
+    paths = raw.get("path", {}) or {}
     return TrainConfig(
         optim=optim,
-        total_step=raw.get("total_step", 50000),
-        log_step=raw.get("log_step", 100),
-        synth_step=raw.get("synth_step", 1000),
-        val_step=raw.get("val_step", 1000),
-        save_step=raw.get("save_step", 1000),
+        total_step=s("total_step", 50000),
+        log_step=s("log_step", 100),
+        synth_step=s("synth_step", 1000),
+        val_step=s("val_step", 1000),
+        save_step=s("save_step", 1000),
         seed=raw.get("seed", 43),
+        ckpt_path=paths.get("ckpt_path"),
+        log_path=paths.get("log_path"),
+        result_path=paths.get("result_path"),
     )
 
 
@@ -373,14 +475,127 @@ def model_config_from_yaml(path: str) -> ModelConfig:
         n_speakers=spk.get("n_speakers", 1),
         n_ref_slices=spk.get("n_ref_slices", 10),
     ))
+    # codebook: either this repo's `codebook: {size, nhead}` block or the
+    # reference's top-level `codebook_size` + `downstream.transformer.nhead`
+    # (config/model/fscl-fastspeech2.yaml:1-8)
     cb = raw.get("codebook", {})
-    if cb:
+    ds = (raw.get("downstream", {}) or {}).get("transformer",
+                                               raw.get("downstream", {}) or {})
+    if cb or "codebook_size" in raw:
         cfg = replace(cfg, codebook=CodebookConfig(
-            size=cb.get("size", 128),
-            num_heads=cb.get("nhead", cb.get("num_heads", 4)),
+            size=cb.get("size", raw.get("codebook_size", 128)),
+            num_heads=cb.get("nhead", cb.get("num_heads",
+                                             ds.get("nhead", 4))),
             dim=cfg.transformer.encoder_hidden,
         ))
+    voc = raw.get("vocoder", {}) or {}
+    if voc:
+        cfg = replace(cfg, vocoder=VocoderConfig(
+            model=voc.get("model", "HifiGAN"),
+            speaker=voc.get("speaker", "universal")))
     return cfg
+
+
+def t2u_config_from_yaml(path: str, n_units: int = 512):
+    """Load the `tacotron2:` block of a reference-style model YAML into a
+    T2UConfig (config/model/tacot2u.yaml, config/model/fscl-t2u.yaml;
+    fscl-t2u-e2e.yaml nests it under `t2u:`)."""
+    from fscl_tpu.models.tacotron2_t2u import T2UConfig
+    with open(path) as f:
+        raw = yaml.safe_load(f)
+    tc = raw.get("tacotron2") or (raw.get("t2u", {}) or {}).get(
+        "tacotron2", {}) or {}
+    defaults = T2UConfig(n_units=n_units)
+    return T2UConfig(n_units=n_units, **{
+        k: tc[k] for k in defaults._fields
+        if k in tc and k != "n_units"})
+
+
+@dataclass(frozen=True)
+class PreprocessConfig:
+    """Per-corpus preprocessing bundle (reference:
+    config/preprocess/*.yaml, e.g. CSS10-german.yaml:1-36)."""
+    dataset: str = ""
+    parser: str = ""                 # RAW_PARSERS registry key
+    lang_id: int = 0
+    corpus_path: str = ""
+    raw_path: str = ""
+    preprocessed_path: str = ""
+    lexicon_path: Optional[str] = None
+    subsets: Tuple[Tuple[str, str], ...] = ()   # (split, subset name)
+    val_size: int = 512
+    text_cleaners: Tuple[str, ...] = ("basic_cleaners",)
+    text_language: str = "en"
+    audio: AudioConfig = field(default_factory=AudioConfig)
+    variance: VarianceConfig = field(default_factory=VarianceConfig)
+    # "world" (DIO-style, the reference's pyworld role) or "yin"
+    pitch_method: str = "world"
+
+
+# corpus name -> RAW_PARSERS key (reference: Parsers/__init__.py:18-58).
+# config/preprocess/*.yaml dataset ids like "CSS10-german" or "kss-4" route
+# to the base corpus parser. VCTK/JVS/CV ship preprocess YAMLs upstream but
+# have no raw parser there either (their registry lacks those keys).
+DATASET2PARSER = {
+    "LJSpeech": "LJSpeech", "LibriTTS": "LibriTTS",
+    "AISHELL-3": "AISHELL-3", "kss": "KSS", "JSUT": "JSUT",
+    "CSS10": "CSS10", "GlobalPhone": "GlobalPhone",
+    "TAT": "TAT", "TATTTS": "TAT_TTS", "M-AILABS": "M-AILABS",
+    "ALFFA": "ALFFA", "LAD": "LAD", "CSMSC": "CSMSC",
+}
+
+
+def read_preprocess_config(path: str) -> PreprocessConfig:
+    """Load a reference-style config/preprocess/*.yaml."""
+    with open(path) as f:
+        raw = yaml.safe_load(f)
+    p = raw.get("path", {}) or {}
+    pp = raw.get("preprocessing", {}) or {}
+    audio_raw = pp.get("audio", {}) or {}
+    stft = pp.get("stft", {}) or {}
+    mel = pp.get("mel", {}) or {}
+    text = pp.get("text", {}) or {}
+    dataset = raw.get("dataset", "")
+    # "CSS10-german" -> css10 parser; "kss-4" -> kss
+    base = dataset.split("-")[0]
+    parser = raw.get("parser") or DATASET2PARSER.get(
+        dataset, DATASET2PARSER.get(base, base.lower()))
+    mel_fmax = mel.get("mel_fmax", 8000.0)
+    if mel_fmax is None:     # reference uses null for MelGAN compatibility
+        mel_fmax = audio_raw.get("sampling_rate", 22050) / 2.0
+    return PreprocessConfig(
+        dataset=dataset,
+        parser=parser,
+        lang_id=raw.get("lang_id", 0),
+        corpus_path=p.get("corpus_path", ""),
+        raw_path=p.get("raw_path", ""),
+        preprocessed_path=p.get("preprocessed_path", ""),
+        lexicon_path=p.get("lexicon_path"),
+        subsets=tuple((k, v) for k, v in (raw.get("subsets", {}) or {}).items()),
+        val_size=pp.get("val_size", 512),
+        text_cleaners=tuple(text.get("text_cleaners", ["basic_cleaners"])),
+        text_language=text.get("language", "en"),
+        audio=AudioConfig(
+            sampling_rate=audio_raw.get("sampling_rate", 22050),
+            n_fft=stft.get("filter_length", 1024),
+            hop_length=stft.get("hop_length", 256),
+            win_length=stft.get("win_length", 1024),
+            n_mels=mel.get("n_mel_channels", 80),
+            mel_fmin=float(mel.get("mel_fmin", 0.0) or 0.0),
+            mel_fmax=float(mel_fmax),
+        ),
+        pitch_method=(pp.get("pitch", {}) or {}).get("method", "world"),
+        variance=VarianceConfig(
+            pitch_feature=(pp.get("pitch", {}) or {}).get(
+                "feature", "phoneme_level"),
+            energy_feature=(pp.get("energy", {}) or {}).get(
+                "feature", "phoneme_level"),
+            pitch_normalization=(pp.get("pitch", {}) or {}).get(
+                "normalization", True),
+            energy_normalization=(pp.get("energy", {}) or {}).get(
+                "normalization", True),
+        ),
+    )
 
 
 def to_dict(cfg) -> Dict[str, Any]:

@@ -140,7 +140,7 @@ class FastSpeech2DataModule(BaseDataModule):
         return out
 
 
-@DATAMODULES.register("fscl", "fscl-orig", "fscl-orig2", "maml",
+@DATAMODULES.register("fscl", "fscl-orig", "fscl-orig2", "maml", "meta",
                       "semi-fscl", "semi-fscl-tune", "fscl-ada",
                       "fscl-ada1", "fscl-ada2", "fscl-ssl_ada",
                       "fscl-ssl_ada1", "fscl-ssl_ada2", "fscl-tune-src")
@@ -285,7 +285,7 @@ class PRDataModule(BaseDataModule):
             )
 
 
-@DATAMODULES.register("pr-ssl-protonet", "pr-fscl")
+@DATAMODULES.register("pr-ssl-protonet", "pr-fscl", "pr-fscl-tune")
 class PREpisodicDataModule(BaseDataModule):
     """Episodic PR loader for protonet/PR-FSCL (phoneme_recognition
     FSCLDataModule): label-grouped K+Q episodes of PR samples with the

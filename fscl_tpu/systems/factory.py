@@ -56,7 +56,7 @@ def build_system(
         elif "ada" in t:
             kwargs.setdefault("ada_stage", "matching")
         return cls(model_cfg, optim_cfg, n_symbols, **kwargs)
-    if t in ("fscl-orig2", "maml"):
+    if t in ("fscl-orig2", "maml", "meta"):
         n_symbols = max(n for _, n in id2symbols)
         kwargs = dict(extra)
         if adapt is not None:

@@ -49,9 +49,14 @@ def inner_adapt(
     return adapted
 
 
-@SYSTEMS.register("fscl-orig2", "maml")
+@SYSTEMS.register("fscl-orig2", "maml", "meta")
 class MAMLTransEmbSystem(TransEmbSystem):
-    """FSCL episode with inner-loop adaptation on the support batch."""
+    """FSCL episode with inner-loop adaptation on the support batch.
+
+    Also answers to the reference's legacy "meta" algorithm key
+    (config/algorithm/language/meta.yaml: class MAML) — its MAML meta-TTS
+    system from the meta-TTS lineage.
+    """
 
     def __init__(self, *args, adaptation_lr: float = 1e-3,
                  adaptation_steps: int = 2, first_order: bool = False,

@@ -115,7 +115,8 @@ class SSLLinearSystem(_SSLPRBase):
 
 
 @SYSTEMS.register("pr-ssl-baseline", "pr-ssl-baseline-tune",
-                  "pr-trans-head", "pr-trans-head-tune")
+                  "pr-trans-head", "pr-trans-head-tune",
+                  "pr-fscl", "pr-fscl-tune")
 class SSLBaselineSystem(_SSLPRBase):
     def __init__(self, *args, **kwargs):
         super().__init__(*args, **kwargs)

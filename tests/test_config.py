@@ -40,7 +40,8 @@ def test_train_yaml_and_overlay(tmp_path):
 
 
 def test_algorithm_yaml():
-    cfg = read_algorithm_config(os.path.join(CFG_DIR, "algorithm", "fscl.yaml"))
+    cfg = read_algorithm_config(
+        os.path.join(CFG_DIR, "algorithm", "language", "fscl-orig.yaml"))
     assert cfg.type == "fscl-orig"
     assert cfg.adapt.shots == 32 and cfg.adapt.queries == 8
     assert cfg.adapt.test_adaptation_steps == 20000
