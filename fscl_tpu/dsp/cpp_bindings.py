@@ -47,6 +47,25 @@ def cpp_yin_f0(wav, sr: int = 22050, hop_length: int = 256,
     return out
 
 
+def cpp_world_f0(wav, sr: int = 22050, hop_length: int = 256,
+                 fmin: float = 71.0, fmax: float = 800.0) -> np.ndarray:
+    """DIO-style multi-band F0 + autocorrelation refinement
+    (cpp/world_pitch.cc) — the WORLD(pyworld) role in the reference's
+    preprocessing (requirements.txt:12)."""
+    lib = _load("libfsclworld.so")
+    fn = lib.world_f0
+    fn.restype = ctypes.c_int64
+    wav = np.ascontiguousarray(np.asarray(wav, dtype=np.float32))
+    n_frames = 1 + len(wav) // hop_length
+    out = np.zeros(n_frames, dtype=np.float32)
+    fn(wav.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+       ctypes.c_int64(len(wav)), ctypes.c_int32(sr),
+       ctypes.c_int32(hop_length),
+       ctypes.c_float(fmin), ctypes.c_float(fmax),
+       out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+    return out
+
+
 def cpp_ctc_beam_decode(
     logprobs: np.ndarray, blank: int = 0, beam_width: int = 50,
     token_min_logp: float = -25.0,

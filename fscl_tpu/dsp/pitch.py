@@ -96,13 +96,153 @@ def interpolate_f0(f0: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     return interp, voiced
 
 
+def dio_f0(
+    wav: np.ndarray,
+    sr: int = 22050,
+    hop_length: int = 256,
+    fmin: float = 71.0,
+    fmax: float = 800.0,
+) -> np.ndarray:
+    """Numpy mirror of cpp/world_pitch.cc (DIO-style multi-band candidates +
+    autocorrelation refinement) — the WORLD(pyworld) role in the reference's
+    preprocessing. Slower than the C++ path; always available."""
+    wav = np.asarray(wav, dtype=np.float64)
+    n = len(wav)
+    n_frames = 1 + n // hop_length
+    out = np.zeros(n_frames, dtype=np.float32)
+    if n < sr // 16:
+        return out
+
+    deci = max(1, int(sr / (8.0 * fmax)))
+    fs = sr / deci
+    if deci > 1:
+        aa = _nuttall_sinc(0.4 * fs, sr)
+        x = np.convolve(wav, aa, mode="same")[::deci]
+    else:
+        x = wav
+    frame_dt = hop_length / sr
+    t_frames = np.arange(n_frames) * frame_dt
+
+    best_f0 = np.zeros(n_frames)
+    best_score = np.full(n_frames, np.inf)
+    boundary = fmin * np.sqrt(2.0)
+    while boundary < fmax * 1.5:
+        h = _nuttall_sinc(boundary, fs)
+        if len(h) < len(x):
+            y = np.convolve(x, h, mode="same")
+            dy = np.diff(y, append=y[-1])
+            ests = []
+            for sig, neg in ((y, True), (y, False), (dy, True), (dy, False)):
+                tr_t, tr_f = _crossing_track(sig, fs, neg)
+                if len(tr_t) < 2:
+                    ests = None
+                    break
+                ests.append(np.interp(t_frames, tr_t, tr_f))
+            if ests is not None:
+                est = np.stack(ests)                       # (4, F)
+                mean = est.mean(0)
+                score = np.sqrt(((est - mean) ** 2).sum(0) / 3.0) / np.maximum(
+                    mean, 1e-9)
+                valid = ((mean > boundary * 0.45) & (mean < boundary * 1.1)
+                         & (mean >= fmin) & (mean <= fmax)
+                         & (score < best_score))
+                best_f0 = np.where(valid, mean, best_f0)
+                best_score = np.where(valid, score, best_score)
+        boundary *= np.sqrt(2.0)
+
+    best_f0[best_score > 0.12] = 0.0
+    # contour fix: isolated voiced frames, >20% jumps
+    fixed = best_f0.copy()
+    prev = np.concatenate([[0.0], fixed[:-1]])
+    nxt = np.concatenate([best_f0[1:], [0.0]])
+    fixed[(fixed > 0) & (prev <= 0) & (nxt <= 0)] = 0.0
+    for f in range(1, n_frames):
+        if fixed[f] <= 0 or fixed[f - 1] <= 0:
+            continue
+        if abs(fixed[f] - fixed[f - 1]) / fixed[f - 1] > 0.2:
+            nx = fixed[f + 1] if f + 1 < n_frames else 0.0
+            if not (nx > 0 and abs(fixed[f] - nx) / fixed[f] < 0.2):
+                fixed[f] = 0.0
+
+    # refinement: normalized autocorrelation around the candidate period
+    for f in range(n_frames):
+        f0c = fixed[f]
+        if f0c <= 0:
+            continue
+        period = sr / f0c
+        tau_lo = max(2, int(period * 0.85))
+        tau_hi = min(int(period * 1.15) + 1, int(sr / fmin))
+        win = min(int(3 * period), n)
+        start = int(np.clip(f * hop_length - win // 2, 0,
+                            max(0, n - win - tau_hi - 1)))
+        if win < 16:
+            out[f] = f0c
+            continue
+        a = wav[start: start + win]
+        taus = np.arange(tau_lo, tau_hi + 1)
+        r = np.array([
+            np.dot(a, wav[start + tau: start + tau + win])
+            / (np.linalg.norm(a)
+               * np.linalg.norm(wav[start + tau: start + tau + win]) + 1e-12)
+            for tau in taus])
+        k = int(np.argmax(r))
+        tau_ref = float(taus[k])
+        if 0 < k < len(r) - 1:
+            denom = r[k - 1] - 2 * r[k] + r[k + 1]
+            if abs(denom) > 1e-12:
+                tau_ref += float(np.clip(0.5 * (r[k - 1] - r[k + 1]) / denom,
+                                         -1, 1))
+        f0r = sr / tau_ref
+        out[f] = f0r if (r[k] >= 0.3 and fmin <= f0r <= fmax) else 0.0
+    return out
+
+
+def _nuttall_sinc(cutoff_hz: float, fs: float) -> np.ndarray:
+    half = max(8, int(2.0 * fs / cutoff_hz))
+    m = np.arange(-half, half + 1)
+    fc = cutoff_hz / fs
+    sinc = np.where(m == 0, 2 * fc, np.sin(2 * np.pi * fc * m)
+                    / np.where(m == 0, 1.0, np.pi * m))
+    t = np.linspace(0, 1, 2 * half + 1)
+    w = (0.355768 - 0.487396 * np.cos(2 * np.pi * t)
+         + 0.144232 * np.cos(4 * np.pi * t)
+         - 0.012604 * np.cos(6 * np.pi * t))
+    h = sinc * w
+    return h / h.sum()
+
+
+def _crossing_track(y: np.ndarray, fs: float, negative: bool):
+    if negative:
+        idx = np.where((y[:-1] > 0) & (y[1:] <= 0))[0]
+    else:
+        idx = np.where((y[:-1] < 0) & (y[1:] >= 0))[0]
+    if len(idx) < 3:
+        return np.empty(0), np.empty(0)
+    denom = y[idx] - y[idx + 1]
+    frac = np.where(np.abs(denom) > 1e-18, y[idx] / denom, 0.5)
+    times = (idx + frac) / fs
+    dt = np.diff(times)
+    ok = dt > 0
+    return (times[:-1] + 0.5 * dt)[ok], (1.0 / dt)[ok]
+
+
 def extract_pitch(wav, sr: int = 22050, hop_length: int = 256,
-                  use_cpp: bool = True):
-    """Dispatch: C++ kernel if built, numpy YIN otherwise."""
+                  use_cpp: bool = True, method: str = "world"):
+    """F0 at the mel hop. method="world" (default; DIO-style + refinement,
+    the reference's pyworld role) or "yin". C++ kernels when built, numpy
+    fallback otherwise."""
+    if method == "world":
+        if use_cpp:
+            try:
+                from fscl_tpu.dsp.cpp_bindings import cpp_world_f0
+                return cpp_world_f0(wav, sr, hop_length)
+            except Exception:  # no toolchain / build failure -> numpy
+                pass
+        return dio_f0(wav, sr, hop_length)
     if use_cpp:
         try:
             from fscl_tpu.dsp.cpp_bindings import cpp_yin_f0
             return cpp_yin_f0(wav, sr, hop_length)
-        except (ImportError, OSError):
+        except Exception:
             pass
     return yin_f0(wav, sr, hop_length)

@@ -114,6 +114,7 @@ def dvec_mel_slices(wav16: np.ndarray) -> np.ndarray:
 def preprocess_utterance(
     store: FeatureStore, query, textgrid_path: str,
     audio: AudioConfig = AudioConfig(),
+    pitch_method: str = "world",
 ) -> Optional[Dict[str, float]]:
     """Full per-utterance stage-2: returns pitch/energy samples for stats,
     or None if the utterance fails sanity checks."""
@@ -133,7 +134,8 @@ def preprocess_utterance(
     segments = [(s - t0, e - t0) for s, e in segments]
 
     mel, energy = mel_energy_from_wav(trim22, audio)
-    pitch = extract_pitch(trim22, audio.sampling_rate, audio.hop_length)
+    pitch = extract_pitch(trim22, audio.sampling_rate, audio.hop_length,
+                          method=pitch_method)
     n = min(len(mel), len(pitch), len(energy))
     mel, pitch, energy = mel[:n], pitch[:n], energy[:n]
     interp_pitch, _ = interpolate_f0(pitch)
