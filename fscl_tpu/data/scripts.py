@@ -127,6 +127,39 @@ def prepare_mfa_corpus(store, mfa_data_dir: str, queries=None,
     return n
 
 
+def build_korean_lexicon(store_or_texts, output_path: str) -> int:
+    """Generate an MFA pronunciation lexicon for Korean with the KoG2P rule
+    engine, word -> space-joined phones (reference: scripts/kss.py:22-38
+    builds lexicon/kss-lexicon.txt from the transcript via g2p_ko).
+
+    Accepts a FeatureStore (reads every stored transcript) or an iterable
+    of raw text strings. Returns the number of lexicon entries written.
+    """
+    import re
+
+    from fscl_tpu.frontend.kog2p import g2p_ko_string
+
+    if hasattr(store_or_texts, "load_metadata"):
+        store = store_or_texts
+        texts = (str(store.text.read_from_query(
+            {"spk": q["spk"], "basename": q["basename"]}) or "")
+            for q in store.load_metadata())
+    else:
+        texts = store_or_texts
+    lexicon = {}
+    for text in texts:
+        for word in re.sub(r"[^가-힣\s]", "", text).split():
+            if word and word not in lexicon:
+                phones = g2p_ko_string(word)
+                if phones:
+                    lexicon[word] = phones
+    os.makedirs(os.path.dirname(os.path.abspath(output_path)), exist_ok=True)
+    with open(output_path, "w", encoding="utf-8") as f:
+        for word, phones in lexicon.items():
+            f.write(f"{word}\t{phones}\n")
+    return len(lexicon)
+
+
 def mfa_align_command(mfa_data_dir: str, dictionary_path: str,
                       acoustic_model_path: str, output_dir: str,
                       n_jobs: int = 8) -> str:
