@@ -16,17 +16,30 @@ import numpy as np
 
 
 class Vocoder:
-    def __init__(self, model, variables):
+    def __init__(self, model, variables, kind: str = "HifiGAN"):
         self.model = model
         self.variables = variables
+        self.kind = kind
         self._jitted = None
 
     @classmethod
-    def from_checkpoint(cls, path: str) -> "Vocoder":
-        from fscl_tpu.models.hifigan import (
-            HiFiGANGenerator, convert_torch_checkpoint,
-        )
-        model = HiFiGANGenerator()
+    def from_checkpoint(cls, path: str, kind: str = "HifiGAN") -> "Vocoder":
+        """Load a torch generator checkpoint (official HiFi-GAN or
+        melgan-neurips layout) or a saved flax param pytree.
+
+        kind selects the architecture like the reference's model-YAML
+        `vocoder.model` key ("HifiGAN" | "MelGAN",
+        lightning/utils/tool.py:20-42)."""
+        if kind.lower() == "melgan":
+            from fscl_tpu.models.melgan import (
+                MelGANGenerator, convert_torch_checkpoint,
+            )
+            model = MelGANGenerator()
+        else:
+            from fscl_tpu.models.hifigan import (
+                HiFiGANGenerator, convert_torch_checkpoint,
+            )
+            model = HiFiGANGenerator()
         if path.endswith((".pt", ".pth", ".ckpt")):
             import torch
             sd = torch.load(path, map_location="cpu")
@@ -36,15 +49,18 @@ class Vocoder:
         else:
             with open(path, "rb") as f:
                 variables = pickle.load(f)
-        return cls(model, variables)
+        return cls(model, variables, kind=kind)
 
     def infer(self, mel: np.ndarray) -> np.ndarray:
-        """mel (T, n_mels) log-mel -> wav (T * 256,)."""
+        """mel (T, n_mels) natural-log mel -> wav (T * 256,)."""
         import jax
         import jax.numpy as jnp
         if self._jitted is None:
+            scale = float(np.log(10.0)) if self.kind.lower() == "melgan" \
+                else 1.0
+            # the reference feeds mel/ln(10) into MelGAN (tool.py:35)
             self._jitted = jax.jit(
-                lambda m: self.model.apply(self.variables, m))
+                lambda m: self.model.apply(self.variables, m / scale))
         wav = self._jitted(jnp.asarray(mel)[None])
         return np.asarray(wav)[0]
 

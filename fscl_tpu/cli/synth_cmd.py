@@ -71,7 +71,10 @@ def run(args):
 
     if args.vocoder_ckpt:
         from fscl_tpu.audio_out.vocoder import Vocoder
-        voc = Vocoder.from_checkpoint(args.vocoder_ckpt)
+        # vocoder.model from the model YAML picks the architecture
+        # ("HifiGAN" | "MelGAN"; reference utils/tool.py get_vocoder)
+        voc = Vocoder.from_checkpoint(args.vocoder_ckpt,
+                                      kind=model_cfg.vocoder.model)
         wav = voc.infer(mel)
     else:
         from fscl_tpu.audio_out.vocoder import griffin_lim
