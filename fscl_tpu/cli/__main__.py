@@ -42,6 +42,11 @@ def main(argv=None):
     t.add_argument("--pretrain_ckpt", default=None)
     t.add_argument("--resume", action="store_true")
     t.add_argument("--n_devices", type=int, default=None)
+    t.add_argument("--distributed", action="store_true",
+                   help="initialize the multi-host jax runtime "
+                        "(jax.distributed; FSCL_COORDINATOR/"
+                        "FSCL_NUM_PROCESSES/FSCL_PROCESS_ID env or TPU-pod "
+                        "auto-discovery); no-op on a single host")
 
     tu = sub.add_parser("tune", help="few-shot transfer to a new language")
     tu.add_argument("--data_config", required=True,

@@ -27,6 +27,15 @@ def run(args):
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/fscl_tpu_jax_cache")
 
+    if getattr(args, "distributed", False):
+        from fscl_tpu.parallel.multihost import maybe_initialize, process_info
+        maybe_initialize()
+        pid, pcount = process_info()
+        if pcount > 1:
+            print(f"[distributed] process {pid}/{pcount}, "
+                  f"{len(jax.local_devices())} local / "
+                  f"{len(jax.devices())} global devices")
+
     import dataclasses
 
     data_configs = [read_data_config(p) for p in args.data_config]

@@ -115,10 +115,11 @@ class FastSpeech2DataModule(BaseDataModule):
         for ds in self.train_set.datasets:
             lengths.extend(
                 len(q["phonemes"].strip("{}").split()) for q in ds.queries)
+        from fscl_tpu.data.samplers import maybe_distribute
         epoch = 0
         while True:
-            sampler = GroupBatchSampler(
-                lengths, bs, seed=self.train_cfg.seed + epoch)
+            sampler = maybe_distribute(GroupBatchSampler(
+                lengths, bs, seed=self.train_cfg.seed + epoch))
             for idxs in sampler:
                 _, batch = collate_batch(
                     [self.train_set[int(i)] for i in idxs],
@@ -180,7 +181,8 @@ class FSCLDataModule(BaseDataModule):
                 seed=self.train_cfg.seed)
 
     def train_batches(self):
-        for idxs in self.sampler.infinite():
+        from fscl_tpu.data.samplers import maybe_distribute
+        for idxs in maybe_distribute(self.sampler.infinite()):
             samples = [self.train_set[i] for i in idxs]
             yield collate_episode(samples, self.shots, self.queries,
                                   with_sup_batch=self.with_sup_batch,

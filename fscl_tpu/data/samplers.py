@@ -44,6 +44,22 @@ class GroupBatchSampler:
         return (len(self.lengths) + self.batch_size - 1) // self.batch_size
 
 
+def maybe_distribute(sampler):
+    """Shard a batch sampler across hosts when a multi-process jax runtime
+    is active (parallel.multihost.maybe_initialize); identity otherwise.
+    Datamodules route every train sampler through this so each host feeds
+    a disjoint batch stream (the reference's DDP per-process split,
+    lightning/sampler.py:50-86)."""
+    try:
+        import jax
+        if jax.process_count() > 1:
+            return DistributedBatchSampler(
+                sampler, jax.process_count(), jax.process_index())
+    except Exception:
+        pass
+    return sampler
+
+
 class DistributedBatchSampler:
     """Shard a batch sampler across hosts (lightning/sampler.py:50-86):
     host `rank` takes every num_replicas-th batch, so each host feeds its
