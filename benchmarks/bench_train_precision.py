@@ -1,0 +1,73 @@
+"""Full-size training-step throughput: f32 vs bf16-activation policy.
+
+Round-1 finding (BASELINE.md): training runs at 19 TFLOP/s vs 87 on
+inference because the backward pass is HBM-bound in elementwise VJPs.
+This probe A/Bs ModelConfig.compute_dtype="bfloat16" (matmul/conv
+computation + saved activations in bf16, params and norms f32) against the
+f32 default IN ONE PROCESS (fresh processes wedge the tunnel; see memory).
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def measure(compute_dtype: str, B=16, L=128, T=512, iters=30):
+    import dataclasses
+
+    import jax
+
+    from fscl_tpu.core.config import ModelConfig, OptimConfig, SpeakerConfig
+    from fscl_tpu.data.batch import Batch
+    from fscl_tpu.systems.baseline import BaselineSystem
+
+    cfg = ModelConfig(speaker=SpeakerConfig(n_speakers=64), max_seq_len=1000)
+    cfg = dataclasses.replace(cfg, compute_dtype=compute_dtype)
+    system = BaselineSystem(cfg, OptimConfig(batch_size=B), (("en", 361),))
+    rng = np.random.default_rng(0)
+    dur = rng.integers(1, 5, (B, L)).astype(np.int32)
+    batch = Batch(
+        (np.arange(B) % 64).astype(np.int32),
+        rng.integers(1, 361, (B, L)).astype(np.int32),
+        np.full((B,), L, np.int32),
+        rng.normal(size=(B, T, 80)).astype(np.float32),
+        np.minimum(dur.sum(1), T).astype(np.int32),
+        rng.normal(size=(B, L)).astype(np.float32),
+        rng.normal(size=(B, L)).astype(np.float32),
+        dur, np.zeros((B,), np.int32))
+    state = system.init_state(jax.random.PRNGKey(0), batch)
+    step = jax.jit(system.train_step)
+    t0 = time.time()
+    state, metrics = step(state, batch, jax.random.PRNGKey(1))
+    jax.block_until_ready(metrics["Total Loss"])
+    compile_s = time.time() - t0
+    t0 = time.time()
+    for i in range(iters):
+        state, metrics = step(state, batch, jax.random.PRNGKey(i + 2))
+    jax.block_until_ready(metrics["Total Loss"])
+    dt = time.time() - t0
+    return {
+        "compute_dtype": compute_dtype,
+        "steps_per_sec": round(iters / dt, 2),
+        "ms_per_step": round(dt / iters * 1000, 1),
+        "compile_s": round(compile_s, 1),
+        "loss": float(metrics["Total Loss"]),
+    }
+
+
+def main():
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/tmp/fscl_tpu_jax_cache")
+    for dtype in ("float32", "bfloat16"):
+        r = measure(dtype)
+        print(json.dumps(r), flush=True)
+
+
+if __name__ == "__main__":
+    main()

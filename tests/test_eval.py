@@ -1,5 +1,6 @@
 """Eval metric tests: WER/PER, FER, MCD, DPDP decoding."""
 import numpy as np
+import pytest
 
 from fscl_tpu.eval.dpdp import dpdp_decode, merge_repeats
 from fscl_tpu.eval.metrics import (
@@ -53,3 +54,34 @@ def test_dpdp_lambda_coarsens():
     s_fine, _ = dpdp_decode(logp, lam=0.0, max_segment_len=40)
     s_coarse, _ = dpdp_decode(logp, lam=5.0, max_segment_len=40)
     assert len(s_coarse) <= len(s_fine)
+
+
+def test_fer_golden_reference_semantics():
+    """Golden cases hand-computed with the reference's exact arithmetic
+    (fs_error_rate.py:17-31: expand at fp=0.02, truncate a long prediction,
+    pad a short one with its LAST frame label)."""
+    # gt "a b c" -> durations [2, 3, 1] -> ref_seq a a b b b c (6 frames);
+    # pred "a c" -> durations [3, 1] -> a a a c, padded with 'c' to 6:
+    # a a a c c c -> correct at frames 0,1,5 -> FER = 0.5
+    err = frame_error_rate(
+        "a b c", "a c",
+        gt_segment=[(0.0, 0.04), (0.04, 0.10), (0.10, 0.12)],
+        pred_segment=[(0.0, 0.06), (0.06, 0.08)])
+    assert err == pytest.approx(0.5)
+
+    # long prediction is TRUNCATED to the reference length:
+    # gt "a" dur [2] -> a a ; pred "a b" durs [2, 2] -> a a b b -> a a
+    err = frame_error_rate(
+        "a", "a b",
+        gt_segment=[(0.0, 0.04)],
+        pred_segment=[(0.0, 0.04), (0.04, 0.08)])
+    assert err == 0.0
+
+    # padding uses the last PRED frame label, not a blank:
+    # gt "a b" durs [1, 2] -> a b b ; pred "b" dur [1] -> b + pad b b ->
+    # b b b -> correct at frames 1,2 -> FER = 1/3
+    err = frame_error_rate(
+        "a b", "b",
+        gt_segment=[(0.0, 0.02), (0.02, 0.06)],
+        pred_segment=[(0.0, 0.02)])
+    assert err == pytest.approx(1.0 / 3.0)
