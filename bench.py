@@ -82,6 +82,21 @@ def main():
         with open(baseline_path) as f:
             vs = value / json.load(f)["value"]
 
+    # Full-size training throughput (BASELINE.md round-2: 61 steps/s after
+    # eliminating per-step host ops). Never let it sink the headline metric.
+    try:
+        from benchmarks.bench_train_precision import measure
+        tr = measure("float32")
+        print(json.dumps({
+            "metric": "fastspeech2_train_steps_per_sec_full_size",
+            "value": tr["steps_per_sec"], "unit": "steps/s",
+            "vs_baseline": None}))
+    except Exception as e:  # pragma: no cover - defensive
+        print(json.dumps({
+            "metric": "fastspeech2_train_steps_per_sec_full_size",
+            "value": None, "unit": "steps/s", "vs_baseline": None,
+            "error": str(e)[:200]}))
+
     # Secondary north-star metric: few-shot inner-loop adaptation steps/s.
     # Emitted FIRST so the headline synthesis line stays last (single-line
     # parsers read the last line). Never let it sink the headline metric.

@@ -76,7 +76,7 @@ def build_corpus(root, n_utts=48, seed=0):
     store.save_speakers(["spk0"])
     store.flush()
     txt = os.path.join(root, "train.txt")
-    write_queries_to_txt(queries, txt)
+    write_queries_to_txt(store, queries, txt)
     return store, txt
 
 
@@ -101,9 +101,13 @@ def main(n_steps=150):
                           max_seq_len=1000)
         system = BaselineSystem(cfg, OptimConfig(batch_size=16),
                                 (("en", 361),))
+        # NOTE: within-process repeat measurements through the axon tunnel
+        # degrade ~2x (order artifact, BASELINE.md); pass a single prefetch
+        # value on argv to measure one config per process.
+        which = ([int(sys.argv[1])] if len(sys.argv) > 1 else [0, 2])
         results = []
         state = None
-        for prefetch in (0, 2):
+        for prefetch in which:
             tc = TrainConfig(optim=OptimConfig(batch_size=16),
                              total_step=10 ** 9, log_step=10 ** 9,
                              prefetch=prefetch)

@@ -42,14 +42,19 @@ def measure(compute_dtype: str, B=16, L=128, T=512, iters=30):
         rng.normal(size=(B, L)).astype(np.float32),
         dur, np.zeros((B,), np.int32))
     state = system.init_state(jax.random.PRNGKey(0), batch)
-    step = jax.jit(system.train_step)
+    step = jax.jit(system.train_step, donate_argnums=(0,))
+    # pre-place the batch and base key once: the loop must issue NO per-step
+    # host ops (uploads / eager PRNG) — on the tunneled chip those cost more
+    # than the 15 ms device step itself (round-2 profiler)
+    batch = jax.device_put(batch)
+    key = jax.device_put(jax.random.PRNGKey(1))
     t0 = time.time()
-    state, metrics = step(state, batch, jax.random.PRNGKey(1))
+    state, metrics = step(state, batch, key)
     jax.block_until_ready(metrics["Total Loss"])
     compile_s = time.time() - t0
     t0 = time.time()
     for i in range(iters):
-        state, metrics = step(state, batch, jax.random.PRNGKey(i + 2))
+        state, metrics = step(state, batch, key)
     jax.block_until_ready(metrics["Total Loss"])
     dt = time.time() - t0
     return {

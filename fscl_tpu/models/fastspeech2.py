@@ -49,18 +49,22 @@ class FastSpeech2(nn.Module):
     def setup(self):
         cfg = self.cfg
         t = cfg.transformer
+        # computation dtype for the heavy matmuls/convs; params and layer
+        # norms stay f32 (config.compute_dtype="bfloat16" halves the
+        # activation traffic the HBM-bound backward pass re-reads)
+        dtype = (jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None)
         self.encoder = Encoder(
             t.encoder_layer, t.encoder_hidden, t.encoder_head,
             t.conv_filter_size, t.conv_kernel_size, t.encoder_dropout,
-            cfg.max_seq_len, cfg.remat, name="encoder")
+            cfg.max_seq_len, cfg.remat, dtype, name="encoder")
         self.variance_adaptor = VarianceAdaptor(cfg, self.stats,
                                                 name="variance_adaptor")
         self.decoder = Decoder(
             t.decoder_layer, t.decoder_hidden, t.decoder_head,
             t.conv_filter_size, t.conv_kernel_size, t.decoder_dropout,
-            cfg.max_seq_len, cfg.remat, name="decoder")
+            cfg.max_seq_len, cfg.remat, dtype, name="decoder")
         self.mel_linear = nn.Dense(cfg.audio.n_mels, name="mel_linear")
-        self.postnet = PostNet(cfg.audio.n_mels, name="postnet")
+        self.postnet = PostNet(cfg.audio.n_mels, dtype=dtype, name="postnet")
         if cfg.multi_speaker:
             self.speaker_emb = SpeakerEncoder(
                 cfg.speaker.emb_type, cfg.speaker.n_speakers,

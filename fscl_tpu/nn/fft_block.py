@@ -9,7 +9,7 @@ XLA maps straight onto the MXU — no transpose round-trips.
 """
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Any, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -35,6 +35,7 @@ class MultiHeadAttention(nn.Module):
     n_head: int
     d_model: int
     dropout: float = 0.1
+    dtype: Any = None     # computation dtype (params stay f32)
 
     @nn.compact
     def __call__(self, x, key_valid=None, deterministic: bool = True,
@@ -42,9 +43,9 @@ class MultiHeadAttention(nn.Module):
         B, L, _ = x.shape
         d_k = self.d_model // self.n_head
         residual = x
-        q = nn.Dense(self.n_head * d_k, name="w_qs")(x)
-        k = nn.Dense(self.n_head * d_k, name="w_ks")(x)
-        v = nn.Dense(self.n_head * d_k, name="w_vs")(x)
+        q = nn.Dense(self.n_head * d_k, dtype=self.dtype, name="w_qs")(x)
+        k = nn.Dense(self.n_head * d_k, dtype=self.dtype, name="w_ks")(x)
+        v = nn.Dense(self.n_head * d_k, dtype=self.dtype, name="w_vs")(x)
 
         def split(t):
             return t.reshape(B, L, self.n_head, d_k).transpose(0, 2, 1, 3)
@@ -57,7 +58,7 @@ class MultiHeadAttention(nn.Module):
         if return_weights:
             out, weights = out
         out = out.transpose(0, 2, 1, 3).reshape(B, L, self.n_head * d_k)
-        out = nn.Dense(self.d_model, name="fc")(out)
+        out = nn.Dense(self.d_model, dtype=self.dtype, name="fc")(out)
         out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
         out = nn.LayerNorm(name="layer_norm")(out + residual)
         return (out, weights) if return_weights else (out, None)
@@ -69,13 +70,16 @@ class ConvFFN(nn.Module):
     d_inner: int
     kernel_size: Tuple[int, int] = (9, 1)
     dropout: float = 0.1
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         residual = x
-        h = nn.Conv(self.d_inner, (self.kernel_size[0],), padding="SAME", name="w_1")(x)
+        h = nn.Conv(self.d_inner, (self.kernel_size[0],), padding="SAME",
+                    dtype=self.dtype, name="w_1")(x)
         h = nn.relu(h)
-        h = nn.Conv(self.d_model, (self.kernel_size[1],), padding="SAME", name="w_2")(h)
+        h = nn.Conv(self.d_model, (self.kernel_size[1],), padding="SAME",
+                    dtype=self.dtype, name="w_2")(h)
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
         return nn.LayerNorm(name="layer_norm")(h + residual)
 
@@ -87,19 +91,21 @@ class FFTBlock(nn.Module):
     d_inner: int
     kernel_size: Tuple[int, int] = (9, 1)
     dropout: float = 0.1
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, valid=None, deterministic: bool = True,
                  return_weights: bool = False):
         out, w = MultiHeadAttention(
-            self.n_head, self.d_model, self.dropout, name="slf_attn"
+            self.n_head, self.d_model, self.dropout, self.dtype,
+            name="slf_attn"
         )(x, key_valid=valid, deterministic=deterministic,
           return_weights=return_weights)
         if valid is not None:
             out = mask_fill(out, valid)
         out = ConvFFN(
             self.d_model, self.d_inner, self.kernel_size, self.dropout,
-            name="pos_ffn",
+            self.dtype, name="pos_ffn",
         )(out, deterministic=deterministic)
         if valid is not None:
             out = mask_fill(out, valid)
@@ -120,6 +126,7 @@ class FFTStack(nn.Module):
     dropout: float = 0.1
     max_seq_len: int = 1000
     remat: bool = False
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, valid, deterministic: bool = True):
@@ -132,7 +139,7 @@ class FFTStack(nn.Module):
         for i in range(self.n_layers):
             x, _ = block_cls(
                 self.d_model, self.n_head, self.d_inner, self.kernel_size,
-                self.dropout, name=f"layer_{i}",
+                self.dropout, self.dtype, name=f"layer_{i}",
             )(x, valid, deterministic, False)
         return x
 
@@ -149,13 +156,14 @@ class Encoder(nn.Module):
     dropout: float = 0.2
     max_seq_len: int = 1000
     remat: bool = False
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, emb_seq, valid, deterministic: bool = True):
         return FFTStack(
             self.n_layers, self.d_model, self.n_head, self.d_inner,
             self.kernel_size, self.dropout, self.max_seq_len, self.remat,
-            name="stack",
+            self.dtype, name="stack",
         )(emb_seq, valid, deterministic)
 
 
@@ -169,13 +177,14 @@ class Decoder(nn.Module):
     dropout: float = 0.2
     max_seq_len: int = 1000
     remat: bool = False
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, valid, deterministic: bool = True):
         return FFTStack(
             self.n_layers, self.d_model, self.n_head, self.d_inner,
             self.kernel_size, self.dropout, self.max_seq_len, self.remat,
-            name="stack",
+            self.dtype, name="stack",
         )(x, valid, deterministic)
 
 
@@ -185,6 +194,7 @@ class PostNet(nn.Module):
     embedding_dim: int = 512
     kernel_size: int = 5
     n_convolutions: int = 5
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
@@ -193,7 +203,7 @@ class PostNet(nn.Module):
         for i in range(self.n_convolutions - 1):
             h = nn.Conv(
                 self.embedding_dim, (self.kernel_size,), padding="SAME",
-                name=f"conv_{i}",
+                dtype=self.dtype, name=f"conv_{i}",
             )(h)
             h = nn.BatchNorm(
                 use_running_average=use_ra, momentum=0.9, name=f"bn_{i}"
@@ -202,7 +212,7 @@ class PostNet(nn.Module):
             h = nn.Dropout(0.5)(h, deterministic=deterministic)
         h = nn.Conv(
             self.n_mel_channels, (self.kernel_size,), padding="SAME",
-            name=f"conv_{self.n_convolutions - 1}",
+            dtype=self.dtype, name=f"conv_{self.n_convolutions - 1}",
         )(h)
         h = nn.BatchNorm(
             use_running_average=use_ra, momentum=0.9,

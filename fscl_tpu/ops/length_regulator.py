@@ -17,8 +17,37 @@ from __future__ import annotations
 
 from typing import Tuple
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
+
+
+@jax.custom_vjp
+def _gather_expand(x, idx, valid):
+    """out[b, t] = x[b, idx[b, t]] where valid, else 0."""
+    out = jnp.take_along_axis(x, idx[..., None], axis=1)
+    return jnp.where(valid[..., None], out, jnp.zeros((), dtype=x.dtype))
+
+
+def _gather_expand_fwd(x, idx, valid):
+    return _gather_expand(x, idx, valid), (idx, valid, x.shape[1])
+
+
+def _gather_expand_bwd(res, g):
+    # The natural VJP of a repeated-index gather is a scatter-add, which XLA
+    # lowers to a slow serialized op on TPU. grad_x[b,l] = sum_t
+    # [idx[b,t]==l] g[b,t] is a segment sum == one one-hot matmul that rides
+    # the MXU instead (B*T*L*D MACs, trivial next to the conv-FFNs).
+    idx, valid, L = res
+    onehot = ((idx[..., None] == jnp.arange(L, dtype=idx.dtype))
+              & valid[..., None]).astype(g.dtype)       # (B, T, L)
+    grad_x = jnp.einsum("btl,btd->bld", onehot, g)
+    zero = lambda a: np.zeros(a.shape, dtype=jax.dtypes.float0)
+    return grad_x, zero(idx), zero(valid)
+
+
+_gather_expand.defvjp(_gather_expand_fwd, _gather_expand_bwd)
 
 
 def regulate_lengths(
@@ -31,6 +60,7 @@ def regulate_lengths(
     Semantics match LengthRegulator.LR (modules.py:169-196): frame t of
     sample b is a copy of x[b, j] where j is the phoneme covering t; output
     rows past the total duration are zero (reference pads with zeros).
+    The backward pass uses a custom MXU-friendly segment-sum VJP.
     """
     durations = durations.astype(jnp.int32)
     csum = jnp.cumsum(durations, axis=-1)              # (B, L)
@@ -41,8 +71,7 @@ def regulate_lengths(
     idx = jax.vmap(lambda c: jnp.searchsorted(c, t, side="right"))(csum)  # (B, T)
     valid = t[None, :] < mel_len[:, None]
     idx = jnp.clip(idx, 0, x.shape[1] - 1)
-    out = jnp.take_along_axis(x, idx[..., None], axis=1)
-    out = jnp.where(valid[..., None], out, jnp.zeros((), dtype=x.dtype))
+    out = _gather_expand(x, idx, valid)
     return out, mel_len
 
 

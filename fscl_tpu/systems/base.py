@@ -94,9 +94,14 @@ class System:
         return self._tx
 
     def train_step(self, state: TrainState, batch, rng):
+        # rng is a BASE key, folded with the step counter INSIDE the jitted
+        # program: callers pass the same device-resident key every step, so
+        # the loop issues no per-step host RNG ops (on a tunneled TPU the
+        # eager PRNGKey+split cost ~6 ms/step — measured via profiler r2).
+        key = jax.random.fold_in(rng, state.step)
         grad_fn = jax.value_and_grad(self.loss_and_metrics, has_aux=True)
         (loss, (metrics, new_bs)), grads = grad_fn(
-            state.params, state.batch_stats, batch, rng, True)
+            state.params, state.batch_stats, batch, key, True)
         state = apply_grads(state, grads, self.tx, new_bs)
         return state, metrics
 

@@ -147,10 +147,15 @@ class Trainer:
         step = int(state.step)
         metrics = None
         t_log = time.time()
+        # the base key is passed UNCHANGED every step (train_step folds in
+        # state.step on-device); keeping it device-resident means the loop
+        # issues zero per-step host RNG ops — on a tunneled TPU the eager
+        # split() alone cost ~6 ms/step (round-2 profiler)
+        rng = jax.device_put(rng)
         for batch in train_iter:
             if step >= max_steps:
                 break
-            rng, sub = jax.random.split(rng)
+            sub = rng
             if self.profile:
                 with self.timer.phase("place_batch"):
                     if self.mesh is not None and prefetch == 0:
