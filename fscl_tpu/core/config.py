@@ -224,6 +224,9 @@ class AlgorithmConfig:
     speaker_emb: Optional[str] = None   # "shared"|"table"|"encoder"|"dvec"
     phoneme_emb: Optional[PhonemeEmbConfig] = None
     modules: Tuple[str, ...] = ()       # adapted module names
+    # iMAML extras (config/algorithm/language/imaml.yaml `imaml:` block)
+    imaml_cg_steps: int = 5
+    imaml_reg_param: float = 1.0
     # set for reference algorithm types that upstream itself no longer
     # registers (commented out of lightning/systems/__init__.py) and that
     # have no equivalent system here; loaders keep them inspectable
@@ -351,6 +354,8 @@ def read_algorithm_config(path: str) -> AlgorithmConfig:
         speaker_emb=a.get("speaker_emb"),
         phoneme_emb=phoneme_emb,
         modules=tuple(a.get("modules", ()) or ()),
+        imaml_cg_steps=(a.get("imaml", {}) or {}).get("K", 5),
+        imaml_reg_param=(a.get("imaml", {}) or {}).get("reg_param", 1.0),
         deprecated=bool(raw.get("deprecated", False)),
         extra=extra,
     )

@@ -142,6 +142,7 @@ class FastSpeech2DataModule(BaseDataModule):
 
 
 @DATAMODULES.register("fscl", "fscl-orig", "fscl-orig2", "maml", "meta",
+                      "imaml",
                       "semi-fscl", "semi-fscl-tune", "fscl-ada",
                       "fscl-ada1", "fscl-ada2", "fscl-ssl_ada",
                       "fscl-ssl_ada1", "fscl-ssl_ada2", "fscl-tune-src")
@@ -387,7 +388,8 @@ def datamodule_kwargs_for(algorithm: str, algo_cfg=None) -> dict:
     encodes this inside per-system collates (FSCLCollate variants) +
     few_shot_task_dataset args."""
     kw = {}
-    if algorithm in ("fscl-orig2", "maml", "semi-fscl", "semi-fscl-tune"):
+    if algorithm in ("fscl-orig2", "maml", "meta", "imaml",
+                     "semi-fscl", "semi-fscl-tune"):
         kw["with_sup_batch"] = True
     if "ssl_ada" in algorithm:
         kw["with_qry_wavs"] = True

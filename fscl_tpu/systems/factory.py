@@ -56,13 +56,16 @@ def build_system(
         elif "ada" in t:
             kwargs.setdefault("ada_stage", "matching")
         return cls(model_cfg, optim_cfg, n_symbols, **kwargs)
-    if t in ("fscl-orig2", "maml", "meta"):
+    if t in ("fscl-orig2", "maml", "meta", "imaml"):
         n_symbols = max(n for _, n in id2symbols)
         kwargs = dict(extra)
         if adapt is not None:
             kwargs.setdefault("adaptation_lr", adapt.adaptation_lr)
             kwargs.setdefault("adaptation_steps",
                               max(adapt.adaptation_steps, 1))
+        if t == "imaml" and algo_cfg is not None:
+            kwargs.setdefault("cg_steps", algo_cfg.imaml_cg_steps)
+            kwargs.setdefault("reg_param", algo_cfg.imaml_reg_param)
         return cls(model_cfg, optim_cfg, n_symbols, **kwargs)
     if t == "conti-ae":
         return cls(model_cfg, optim_cfg, **extra)

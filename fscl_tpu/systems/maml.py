@@ -122,6 +122,120 @@ class MAMLTransEmbSystem(TransEmbSystem):
         return losses.total, (losses.as_dict(), None)
 
 
+def _tree_dot(a, b):
+    return sum(jnp.vdot(x, y) for x, y in
+               zip(jax.tree_util.tree_leaves(a),
+                   jax.tree_util.tree_leaves(b)))
+
+
+def _tree_axpy(alpha, x, y):
+    return jax.tree_util.tree_map(lambda a, b: alpha * a + b, x, y)
+
+
+def cg_solve(matvec: Callable[[Any], Any], b: Any, n_steps: int) -> Any:
+    """Fixed-step conjugate gradients for (symmetric PD) matvec x = b, as a
+    lax.scan (static step count -> one compiled program; the reference's
+    iMAML `imaml.K` CG steps)."""
+    x0 = jax.tree_util.tree_map(jnp.zeros_like, b)
+
+    def step(carry, _):
+        x, r, p, rs = carry
+        Ap = matvec(p)
+        alpha = rs / (_tree_dot(p, Ap) + 1e-12)
+        x = _tree_axpy(alpha, p, x)
+        r = _tree_axpy(-alpha, Ap, r)
+        rs_new = _tree_dot(r, r)
+        p = _tree_axpy(rs_new / (rs + 1e-12), p, r)
+        return (x, r, p, rs_new), None
+
+    r0 = b
+    (x, _, _, _), _ = jax.lax.scan(
+        step, (x0, r0, r0, _tree_dot(r0, r0)), None, length=n_steps)
+    return x
+
+
+@SYSTEMS.register("imaml")
+class IMAMLTransEmbSystem(MAMLTransEmbSystem):
+    """iMAML (implicit MAML): proximally-regularized inner loop + conjugate-
+    gradient implicit meta-gradients (reference:
+    config/algorithm/language/imaml.yaml `class: iMAML`, `imaml.K` CG steps,
+    `imaml.reg_param` — the variant upstream prototyped in dev.yaml).
+
+    Inner: p* ≈ argmin_p L_sup(p) + (λ/2)||p - θ||², K_inner SGD steps,
+    NOT differentiated through (lax.stop_gradient).
+    Outer: by the implicit function theorem dθ = (I + H/λ)^{-1} g_qry with
+    H = ∇²L_sup(p*); solved with `cg_steps` fixed CG iterations using
+    Hessian-vector products (jax.jvp over jax.grad) — memory does not grow
+    with inner steps, unlike 2nd-order MAML.
+    The meta-gradient reaches θ = (generated table, model params) through a
+    surrogate inner product, so the codebook that builds the table trains.
+    """
+
+    def __init__(self, *args, cg_steps: int = 5, reg_param: float = 1.0,
+                 **kwargs):
+        kwargs.setdefault("adaptation_steps", 5)
+        super().__init__(*args, **kwargs)
+        self.cg_steps = cg_steps
+        self.reg_param = reg_param
+
+    def loss_and_metrics(self, params, batch_stats, episode: Episode, rng,
+                         train):
+        assert episode.sup_batch is not None, (
+            "iMAML system needs collate_episode(with_sup_batch=True)")
+        sup, qry = episode.sup, episode.qry
+        ssl_hidden, _ = self.extract_ssl(sup.wavs, sup.wav_lens)
+        table = self.build_embedding_table(params, ssl_hidden, sup)
+        theta = {"table": table, "model": params["model"]}
+        lam = self.reg_param
+
+        def sup_loss(p):
+            inner_params = {"model": p["model"],
+                            "codebook": params["codebook"]}
+            return self._episode_loss(
+                inner_params, batch_stats, p["table"], episode.sup_batch,
+                None, False).total
+
+        anchor = jax.lax.stop_gradient(theta)
+
+        def prox_loss(p):
+            sq = sum(jnp.sum((a - b) ** 2) for a, b in
+                     zip(jax.tree_util.tree_leaves(p),
+                         jax.tree_util.tree_leaves(anchor)))
+            return sup_loss(p) + 0.5 * lam * sq
+
+        adapted = jax.lax.stop_gradient(inner_adapt(
+            prox_loss, anchor, self.adaptation_lr, self.adaptation_steps,
+            first_order=True))
+
+        def qry_loss(p):
+            outer_params = {"model": p["model"],
+                            "codebook": params["codebook"]}
+            return self._episode_loss(
+                outer_params, batch_stats, p["table"], qry, rng,
+                train).total
+
+        q_val, g_qry = jax.value_and_grad(qry_loss)(adapted)
+
+        # (I + H/λ) v = g_qry via CG with HVPs of the support loss at p*
+        def matvec(v):
+            hv = jax.jvp(jax.grad(sup_loss), (adapted,), (v,))[1]
+            return jax.tree_util.tree_map(lambda a, b: a + b / lam, v, hv)
+
+        v = jax.lax.stop_gradient(cg_solve(matvec, g_qry, self.cg_steps))
+
+        # surrogate: grad wrt params == J_θ(params)^T v (implicit meta-grad)
+        surrogate = _tree_dot(v, theta)
+        meta_loss = surrogate - jax.lax.stop_gradient(surrogate) + \
+            jax.lax.stop_gradient(q_val)
+
+        losses = self._episode_loss(
+            {"model": adapted["model"], "codebook": params["codebook"]},
+            batch_stats, adapted["table"], qry, rng, False)
+        metrics = losses.as_dict()
+        metrics["Total Loss"] = q_val
+        return meta_loss, (metrics, None)
+
+
 def fast_adaptation_scan(
     loss_fn: Callable[[Any, Any], jnp.ndarray],
     params: Any,

@@ -399,10 +399,13 @@ def gen_model():
 def adapt_block(atype="lang", cls="MAML", spk="dvec",
                 pe=("codebook", 128, "soft-m"), mods=None,
                 task=(1, 32, 8, 0.001), steps=0, mbs=1,
-                test=(20000, None, None, None)) -> str:
+                test=(20000, None, None, None), imaml=None) -> str:
     """Emit the reference-shaped nested adapt block."""
     lines = ["adapt:", f"  type: {atype}", f"  class: {cls}",
              f"  speaker_emb: {spk}"]
+    if imaml is not None:
+        k, reg = imaml
+        lines += ["  imaml:", f"    K: {k}", f"    reg_param: {reg}"]
     if pe is not None:
         kind, size, att = pe
         lines.append("  phoneme_emb:")
@@ -480,7 +483,7 @@ def gen_algorithm():
          pe=("codebook", 100, "hard"),
          mods=["encoder", "mel_linear", "postnet"],
          task=(1, 20, 5, 0.001), steps=50, test=(100, None, 20, 1),
-         deprecated=True)
+         imaml=(5, 1))
     algo("language/hard-tune.yaml", "meta-tune", name="meta-tune",
          pe=("codebook", 128, "hard"), task=(1, 64, 16, 0.001), steps=5,
          test=(20000, 16, 64, 16), deprecated=True)
@@ -526,7 +529,7 @@ def gen_algorithm():
     algo("dev.yaml", "imaml", name="dev meta_emb_va_d table", cls="iMAML",
          spk="table", pe=("codebook", 30, "hard"), task=(1, 10, 5, 0.001),
          steps=2, test=(100, None, 10, 1), body_extra="pretrain: 6000\n",
-         deprecated=True)
+         imaml=(5, 1))
     algo("dev_maml.yaml", "meta", name="dev meta_emb_va_d table",
          spk="table", pe=("codebook", 30, "hard"), task=(1, 20, 5, 0.001),
          steps=5, test=(100, None, 20, 1), body_extra="pretrain: 20000\n")
