@@ -42,6 +42,12 @@ def main(argv=None):
     t.add_argument("--pretrain_ckpt", default=None)
     t.add_argument("--resume", action="store_true")
     t.add_argument("--n_devices", type=int, default=None)
+    t.add_argument("--use_tracker", action="store_true",
+                   help="experiment tracking under exp_dir/experiments "
+                        "(the reference's --use_comet role, offline)")
+    t.add_argument("--exp_key", default=None,
+                   help="experiment key to resume tracking into "
+                        "(reference --exp_key)")
     t.add_argument("--distributed", action="store_true",
                    help="initialize the multi-host jax runtime "
                         "(jax.distributed; FSCL_COORDINATOR/"

@@ -144,13 +144,26 @@ def run(args):
     if args.n_devices and args.n_devices > 1:
         mesh = make_mesh(n_data=args.n_devices)
 
-    trainer = Trainer(
-        system, train_cfg, mesh=mesh,
-        callbacks=[
-            LossTableLogger(os.path.join(args.exp_dir, "log")),
-            TensorBoardLogger(os.path.join(args.exp_dir, "tb")),
-            CheckpointCallback(mgr),
-        ])
+    callbacks = [
+        LossTableLogger(os.path.join(args.exp_dir, "log")),
+        TensorBoardLogger(os.path.join(args.exp_dir, "tb")),
+        CheckpointCallback(mgr),
+    ]
+    if getattr(args, "use_tracker", False):
+        # experiment tracking with a persistent exp_key (the reference's
+        # --use_comet + --exp_key resume flow, main.py:91-137)
+        from fscl_tpu.obs.tracking import ExperimentTracker
+        tracker = ExperimentTracker(
+            os.path.join(args.exp_dir, "experiments"),
+            name=args.system, exp_key=getattr(args, "exp_key", None),
+            params={"system": args.system,
+                    "total_step": train_cfg.total_step,
+                    "batch_size": train_cfg.optim.batch_size,
+                    "lr": train_cfg.optim.lr})
+        print(f"[tracker] exp_key={tracker.exp_key} ({tracker.dir})")
+        callbacks.append(tracker)
+
+    trainer = Trainer(system, train_cfg, mesh=mesh, callbacks=callbacks)
     state = trainer.fit(state, batches())
     mgr.save(int(state.step), state)
     print(f"[train] done at step {int(state.step)}; ckpts in {ckpt_dir}")
