@@ -129,13 +129,20 @@ class Trainer:
     ) -> TrainState:
         rng = rng if rng is not None else jax.random.PRNGKey(self.cfg.seed)
         max_steps = max_steps or self.cfg.total_step
-        if self.mesh is not None:
-            train_step = make_parallel_train_step(self.system, self.mesh)
-            eval_step = (make_parallel_eval_step(self.system, self.mesh)
-                         if val_loader else None)
-        else:
-            train_step = jax.jit(self.system.train_step, donate_argnums=(0,))
-            eval_step = jax.jit(self.system.eval_step) if val_loader else None
+        # one jitted instance per Trainer, reused across fit() calls
+        if self._train_step is None:
+            if self.mesh is not None:
+                self._train_step = make_parallel_train_step(
+                    self.system, self.mesh)
+            else:
+                self._train_step = jax.jit(self.system.train_step,
+                                           donate_argnums=(0,))
+        train_step = self._train_step
+        if val_loader and self._eval_step is None:
+            self._eval_step = (make_parallel_eval_step(self.system, self.mesh)
+                               if self.mesh is not None
+                               else jax.jit(self.system.eval_step))
+        eval_step = self._eval_step
 
         prefetch = getattr(self.cfg, "prefetch", 0)
         if prefetch > 0:
@@ -158,14 +165,21 @@ class Trainer:
             sub = rng
             if self.profile:
                 with self.timer.phase("place_batch"):
-                    if self.mesh is not None and prefetch == 0:
-                        batch = place_batch(batch, self.mesh)
+                    if prefetch == 0:
+                        batch = (place_batch(batch, self.mesh)
+                                 if self.mesh is not None
+                                 else jax.device_put(batch))
                 with self.timer.phase("train_step",
                                       block_on=state.step):
                     state, metrics = train_step(state, batch, sub)
             else:
-                if self.mesh is not None and prefetch == 0:
-                    batch = place_batch(batch, self.mesh)
+                if prefetch == 0:
+                    # explicit placement even single-device: feeding numpy
+                    # straight into the jitted step degrades long loops
+                    # through the tunneled runtime (BASELINE.md round 2)
+                    batch = (place_batch(batch, self.mesh)
+                             if self.mesh is not None
+                             else jax.device_put(batch))
                 state, metrics = train_step(state, batch, sub)
             step += 1
 
