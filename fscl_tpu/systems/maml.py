@@ -165,7 +165,7 @@ class IMAMLTransEmbSystem(MAMLTransEmbSystem):
     NOT differentiated through (lax.stop_gradient).
     Outer: by the implicit function theorem dθ = (I + H/λ)^{-1} g_qry with
     H = ∇²L_sup(p*); solved with `cg_steps` fixed CG iterations using
-    Hessian-vector products (jax.jvp over jax.grad) — memory does not grow
+    Hessian-vector products (reverse-over-reverse) — memory does not grow
     with inner steps, unlike 2nd-order MAML.
     The meta-gradient reaches θ = (generated table, model params) through a
     surrogate inner product, so the codebook that builds the table trains.
@@ -216,9 +216,13 @@ class IMAMLTransEmbSystem(MAMLTransEmbSystem):
 
         q_val, g_qry = jax.value_and_grad(qry_loss)(adapted)
 
-        # (I + H/λ) v = g_qry via CG with HVPs of the support loss at p*
+        # (I + H/λ) v = g_qry via CG with HVPs of the support loss at p*.
+        # HVP as reverse-over-reverse (grad of <grad, v>): forward-mode jvp
+        # cannot differentiate custom_vjp ops (the length-regulator's MXU
+        # VJP, ops/length_regulator.py), reverse-over-reverse can.
         def matvec(v):
-            hv = jax.jvp(jax.grad(sup_loss), (adapted,), (v,))[1]
+            hv = jax.grad(
+                lambda p: _tree_dot(jax.grad(sup_loss)(p), v))(adapted)
             return jax.tree_util.tree_map(lambda a, b: a + b / lam, v, hv)
 
         v = jax.lax.stop_gradient(cg_solve(matvec, g_qry, self.cg_steps))
