@@ -102,7 +102,15 @@ def adapt_on_chip(
     — no host round-trips between steps. Returns (adapted params,
     per-step losses)."""
     stacked = stack_batches(batches)
+    loss_fn = _make_task_loss_fn(baseline, batch_stats, symbol_id)
 
+    return jax.jit(
+        lambda p, b: fast_adaptation_scan(loss_fn, p, b, lr)
+    )(params, stacked)
+
+
+def _make_task_loss_fn(baseline: BaselineSystem, batch_stats,
+                       symbol_id: Optional[str]):
     def loss_fn(p, batch: Batch):
         out, _ = baseline.forward(p, batch_stats, batch, None, False,
                                   symbol_id=symbol_id)
@@ -115,6 +123,88 @@ def adapt_on_chip(
             baseline.model_cfg.variance.energy_feature)
         return losses.total
 
-    return jax.jit(
-        lambda p, b: fast_adaptation_scan(loss_fn, p, b, lr)
-    )(params, stacked)
+    return loss_fn
+
+
+def stack_tasks(task_batches: List[List[Batch]]) -> Batch:
+    """Stack a list of per-task batch sequences into one pytree with leading
+    axes (n_tasks, n_steps, ...). All tasks must share static shapes
+    (bucketed padding guarantees this)."""
+    return jax.tree_util.tree_map(
+        lambda *xs: jnp.stack(xs), *[stack_batches(b) for b in task_batches])
+
+
+def adapt_many_on_chip(
+    baseline: BaselineSystem,
+    params: Dict[str, Any],
+    batch_stats,
+    task_batches: List[List[Batch]],
+    lr: float = 1e-3,
+    symbol_id: Optional[str] = None,
+):
+    """Adapt N independent few-shot tasks IN PARALLEL on one chip: vmap the
+    on-chip adaptation scan over a task axis, so each task carries its own
+    adapted copy of `params` while the MXU sees one batched program.
+
+    The reference runs its test-time adaptation tasks strictly one after
+    another (1 task per GPU process, lightning/systems/adaptor.py:21-24);
+    batching tasks is the TPU-native replacement — small 4-shot batches
+    alone cannot fill the MXU, N tasks at once can.
+
+    Returns (adapted params stacked on a leading task axis,
+    losses of shape (n_tasks, n_steps))."""
+    stacked = stack_tasks(task_batches)
+    loss_fn = _make_task_loss_fn(baseline, batch_stats, symbol_id)
+
+    return jax.jit(jax.vmap(
+        lambda b: fast_adaptation_scan(loss_fn, params, b, lr)
+    ))(stacked)
+
+
+def adapt_many_sharded(
+    baseline: BaselineSystem,
+    params: Dict[str, Any],
+    batch_stats,
+    task_batches: List[List[Batch]],
+    mesh,
+    lr: float = 1e-3,
+    symbol_id: Optional[str] = None,
+):
+    """`adapt_many_on_chip` with the task axis sharded over the mesh's data
+    axis: few-shot evaluation over many tasks scales across chips.
+
+    Uses `shard_map`, not jit-with-shardings: tasks are embarrassingly
+    parallel (zero cross-task communication), so each device should run the
+    plain local program on its own task slice. This also sidesteps an SPMD
+    partitioner wrong-gradient bug observed on conv kernel grads when the
+    vmapped (task, batch, ...) conv backward is partitioned over the task
+    axis (grad off by ~0.3 vs the per-task ground truth on an 8-device CPU
+    mesh; guarded by tests/test_maml_tune.py)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from fscl_tpu.parallel.mesh import DATA_AXIS
+
+    n_tasks = len(task_batches)
+    n_data = mesh.shape[DATA_AXIS]
+    if n_tasks % n_data != 0:
+        raise ValueError(
+            f"n_tasks={n_tasks} must be divisible by the data axis "
+            f"({n_data}) so every chip adapts the same number of tasks")
+    task_sharded = NamedSharding(mesh, P(DATA_AXIS))
+    repl = NamedSharding(mesh, P())
+    stacked = jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, task_sharded), stack_tasks(task_batches))
+    params = jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, repl), params)
+    loss_fn = _make_task_loss_fn(baseline, batch_stats, symbol_id)
+
+    def local(p, b):   # runs per device on its local task shard
+        return jax.vmap(
+            lambda bt: fast_adaptation_scan(loss_fn, p, bt, lr))(b)
+
+    fn = jax.jit(jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), P(DATA_AXIS)),
+        out_specs=P(DATA_AXIS),
+        check_vma=False))
+    return fn(params, stacked)

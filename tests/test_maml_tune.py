@@ -154,3 +154,52 @@ def test_imaml_matches_analytic_quadratic():
     g = {"w": jnp.array(5.0)}
     v = cg_solve(matvec, g, n_steps=5)
     np.testing.assert_allclose(float(v["w"]), 5.0 / (1 + a / lam), rtol=1e-5)
+
+
+def test_adapt_many_matches_sequential():
+    """vmapped task-parallel adaptation == running each task's on-chip scan
+    by itself (the reference's one-task-at-a-time protocol)."""
+    from fscl_tpu.systems.baseline import BaselineSystem
+    from fscl_tpu.systems.tune import adapt_many_on_chip
+
+    rng = np.random.default_rng(7)
+    baseline = BaselineSystem(CFG, OptimConfig(), (("ko", N_SYM),))
+    state = baseline.init_state(jax.random.PRNGKey(0), make_batch(rng))
+    tasks = [[make_batch(rng) for _ in range(3)] for _ in range(2)]
+
+    adapted, losses = adapt_many_on_chip(
+        baseline, state.params, state.batch_stats, tasks, lr=1e-3)
+    assert losses.shape == (2, 3)
+    for i, task in enumerate(tasks):
+        p_i, l_i = adapt_on_chip(
+            baseline, state.params, state.batch_stats, task, lr=1e-3)
+        np.testing.assert_allclose(np.asarray(losses[i]), np.asarray(l_i),
+                                   rtol=2e-5, atol=1e-5)
+        flat_many = jax.tree_util.tree_leaves(adapted)
+        flat_one = jax.tree_util.tree_leaves(p_i)
+        for a, b in zip(flat_many, flat_one):
+            np.testing.assert_allclose(np.asarray(a)[i], np.asarray(b),
+                                       rtol=2e-4, atol=2e-5)
+
+
+def test_adapt_many_sharded_matches_unsharded():
+    from fscl_tpu.parallel.mesh import make_mesh
+    from fscl_tpu.systems.baseline import BaselineSystem
+    from fscl_tpu.systems.tune import adapt_many_on_chip, adapt_many_sharded
+
+    rng = np.random.default_rng(8)
+    baseline = BaselineSystem(CFG, OptimConfig(), (("ko", N_SYM),))
+    state = baseline.init_state(jax.random.PRNGKey(0), make_batch(rng))
+    mesh = make_mesh(n_data=4)
+    tasks = [[make_batch(rng) for _ in range(2)] for _ in range(4)]
+
+    _, losses = adapt_many_on_chip(
+        baseline, state.params, state.batch_stats, tasks, lr=1e-3)
+    _, losses_sh = adapt_many_sharded(
+        baseline, state.params, state.batch_stats, tasks, mesh, lr=1e-3)
+    np.testing.assert_allclose(np.asarray(losses_sh), np.asarray(losses),
+                               rtol=2e-5, atol=1e-5)
+
+    with pytest.raises(ValueError):
+        adapt_many_sharded(
+            baseline, state.params, state.batch_stats, tasks[:3], mesh)
