@@ -132,6 +132,15 @@ def collate_batch(
     else:
         speaker_args = np.array(
             [s["speaker"] for s in samples], dtype=np.int32)
+    # frame-level pitch/energy targets (variance config "frame_level") have
+    # mel-frame length, not phoneme length — pad those to the MEL bucket so
+    # the variance adaptor sees (B, T) targets (nn/variance_adaptor.py:167).
+    def _var_len(key: str) -> int:
+        if has_mel and any(
+                len(s[key]) != len(s["phonemes"]) for s in samples):
+            return T
+        return L
+
     batch = Batch(
         speaker_args=speaker_args,
         texts=pad_1d([s["phonemes"] for s in samples], L, dtype=np.int32),
@@ -139,9 +148,11 @@ def collate_batch(
         mels=(pad_2d([s["mel"] for s in samples], T) if has_mel
               else np.zeros((len(samples), T, 80), np.float32)),
         mel_lens=np.minimum(mel_lens, T),
-        pitches=pad_1d([s["pitch"] for s in samples], L, dtype=np.float32)
+        pitches=pad_1d([s["pitch"] for s in samples], _var_len("pitch"),
+                       dtype=np.float32)
         if has_mel else np.zeros((len(samples), L), np.float32),
-        energies=pad_1d([s["energy"] for s in samples], L, dtype=np.float32)
+        energies=pad_1d([s["energy"] for s in samples], _var_len("energy"),
+                        dtype=np.float32)
         if has_mel else np.zeros((len(samples), L), np.float32),
         durations=pad_1d([s["duration"] for s in samples], L, dtype=np.int32)
         if has_mel else np.zeros((len(samples), L), np.int32),

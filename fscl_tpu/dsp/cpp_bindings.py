@@ -85,3 +85,74 @@ def cpp_ctc_beam_decode(
            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
            ctypes.c_int64(T), ctypes.byref(score))
     return out[:n].tolist(), float(score.value)
+
+
+def _paths_arg(paths: List[str]):
+    return (ctypes.c_char_p * len(paths))(
+        *[p.encode("utf-8") for p in paths])
+
+
+def _check(rc: int, paths: List[str]) -> None:
+    if rc != 0:
+        raise IOError(f"npy batch read failed at {paths[rc - 1]}")
+
+
+def cpp_npy_pad_1d_f32(paths: List[str], length: int, shift: float = 0.0,
+                       scale: float = 1.0) -> Tuple[np.ndarray, np.ndarray]:
+    """Read B 1-D npy files, apply (x - shift) * scale, zero-pad to
+    (B, length) float32. Returns (out, lens). One native call replaces B
+    np.loads + the pad loop (cpp/npy_batch.cc)."""
+    lib = _load("libfsclnpy.so")
+    fn = lib.npy_pad_1d_f32
+    fn.restype = ctypes.c_int64
+    B = len(paths)
+    out = np.zeros((B, length), np.float32)
+    lens = np.zeros(B, np.int32)
+    rc = fn(_paths_arg(paths), ctypes.c_int64(B), ctypes.c_int64(length),
+            ctypes.c_double(shift), ctypes.c_double(scale),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    _check(rc, paths)
+    return out, lens
+
+
+def cpp_npy_pad_1d_i32(paths: List[str], length: int, offset: int = 0,
+                       ) -> Tuple[np.ndarray, np.ndarray]:
+    lib = _load("libfsclnpy.so")
+    fn = lib.npy_pad_1d_i32
+    fn.restype = ctypes.c_int64
+    B = len(paths)
+    out = np.zeros((B, length), np.int32)
+    lens = np.zeros(B, np.int32)
+    rc = fn(_paths_arg(paths), ctypes.c_int64(B), ctypes.c_int64(length),
+            ctypes.c_int32(offset),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    _check(rc, paths)
+    return out, lens
+
+
+def cpp_npy_pad_2d_f32(paths: List[str], n_rows: int, n_cols: int,
+                       trunc: Optional[np.ndarray] = None,
+                       maybe_transposed_dim: int = 0,
+                       ) -> Tuple[np.ndarray, np.ndarray]:
+    """Read B 2-D npy files (T_i, D) — or (D, T_i) when stored transposed
+    with first dim == maybe_transposed_dim — truncate to trunc[b] rows,
+    zero-pad to (B, n_rows, n_cols) float32. Threaded reads."""
+    lib = _load("libfsclnpy.so")
+    fn = lib.npy_pad_2d_f32
+    fn.restype = ctypes.c_int64
+    B = len(paths)
+    out = np.zeros((B, n_rows, n_cols), np.float32)
+    lens = np.zeros(B, np.int32)
+    if trunc is None:
+        trunc_arr = np.zeros(B, np.int32)
+    else:
+        trunc_arr = np.ascontiguousarray(np.asarray(trunc, np.int32))
+    rc = fn(_paths_arg(paths), ctypes.c_int64(B), ctypes.c_int64(n_rows),
+            ctypes.c_int64(n_cols), ctypes.c_int64(maybe_transposed_dim),
+            trunc_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    _check(rc, paths)
+    return out, lens
