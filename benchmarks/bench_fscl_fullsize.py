@@ -1,0 +1,101 @@
+"""Flagship FSCL meta-training throughput at FULL size.
+
+The round-1 episodes/s number (25.1) used a tiny stand-in upstream; this
+measures the real operating point: hubert_large (1024d, 24 transformer
+layers, random-init weights — throughput is weight-independent), codebook
+128x4 over 25 layers, full-size FastSpeech2 (enc4/dec6 256d), reference
+episode shape 32-shot support / 8-query (config/algorithm/language/
+fscl.yaml:33-48).
+
+One episode = frozen SSL forward on 32 support wavs + segment-op query
+extraction + codebook attention + FastSpeech2 fwd/bwd on the 8-query batch,
+all inside ONE jitted train step.
+
+Usage: python benchmarks/bench_fscl_fullsize.py [n_steps] [sup_secs]
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(n_steps: int = 30, sup_secs: float = 4.0, emit: bool = True):
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/tmp/fscl_tpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+
+    from fscl_tpu.core.config import ModelConfig, OptimConfig, SpeakerConfig
+    from fscl_tpu.data.batch import Batch, SupInfo
+    from fscl_tpu.systems.fscl import Episode, TransEmbSystem
+
+    n_sym = 100                       # typical per-language phoneset size
+    S, Lp = 32, 64                    # 32-shot support, <=64 phones/utt
+    B, L, T = 8, 128, 512             # 8-query TTS batch
+    Tw = int(sup_secs * 16000)
+
+    cfg = ModelConfig(speaker=SpeakerConfig(n_speakers=64), max_seq_len=1000)
+    system = TransEmbSystem(cfg, OptimConfig(), n_sym)
+
+    rng = np.random.default_rng(0)
+    sup = SupInfo(
+        wavs=rng.normal(size=(S, Tw)).astype(np.float32) * 0.1,
+        wav_lens=np.full((S,), Tw, np.int32),
+        avg_frames=rng.integers(1, 4, (S, Lp)).astype(np.int32),
+        phonemes=rng.integers(1, n_sym, (S, Lp)).astype(np.int32),
+        n_symbols=n_sym)
+    dur = rng.integers(1, 6, (B, L)).astype(np.int32)
+    qry = Batch(
+        speaker_args=(np.arange(B) % 64).astype(np.int32),
+        texts=rng.integers(1, n_sym, (B, L)).astype(np.int32),
+        src_lens=np.full((B,), L, np.int32),
+        mels=rng.normal(size=(B, T, 80)).astype(np.float32),
+        mel_lens=np.minimum(dur.sum(1), T).astype(np.int32),
+        pitches=rng.normal(size=(B, L)).astype(np.float32),
+        energies=rng.normal(size=(B, L)).astype(np.float32),
+        durations=dur, lang_ids=np.zeros((B,), np.int32))
+    episode = Episode(sup=sup, qry=qry)
+
+    state = system.init_state(jax.random.PRNGKey(0), episode)
+    episode = jax.tree_util.tree_map(jnp.asarray, episode)
+    step = jax.jit(system.train_step, donate_argnums=(0,))
+    key = jax.random.PRNGKey(1)
+
+    t_c0 = time.time()
+    state, metrics = step(state, episode, key)
+    jax.block_until_ready(metrics["Total Loss"])
+    compile_s = time.time() - t_c0
+
+    t0 = time.time()
+    for _ in range(n_steps):
+        state, metrics = step(state, episode, key)
+    jax.block_until_ready(metrics["Total Loss"])
+    dt = time.time() - t0
+
+    result = {
+        "metric": "fscl_meta_episodes_per_sec_fullsize",
+        "value": round(n_steps / dt, 2),
+        "unit": "episodes/s",
+        "ms_per_episode": round(1000 * dt / n_steps, 1),
+        "sup": [S, Tw], "qry": [B, L, T],
+        "compile_s": round(compile_s, 1),
+        "loss": float(np.asarray(metrics["Total Loss"])),
+    }
+    if emit:
+        print(json.dumps(result))
+    return result
+
+
+if __name__ == "__main__":
+    kw = {}
+    if len(sys.argv) > 1:
+        kw["n_steps"] = int(sys.argv[1])
+    if len(sys.argv) > 2:
+        kw["sup_secs"] = float(sys.argv[2])
+    main(**kw)
