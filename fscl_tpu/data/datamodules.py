@@ -87,9 +87,11 @@ class FastSpeech2DataModule(BaseDataModule):
     pass re_id=False (FastSpeech2DataModule.py:136 — single-language table
     addressed by symbol_id with raw ids)."""
 
-    def __init__(self, *args, re_id: bool = True, **kwargs):
+    def __init__(self, *args, re_id: bool = True, native_io: bool = True,
+                 **kwargs):
         super().__init__(*args, **kwargs)
         self.re_id = re_id
+        self.native_io = native_io
         # d-vector speaker paths consume per-utterance reference mel slices
         # instead of speaker ids (speaker_encoder.py:115-136); the dataset
         # then loads spk_ref_mel_slices and the collate pads them to a
@@ -103,6 +105,21 @@ class FastSpeech2DataModule(BaseDataModule):
             self._datasets("train", FastSpeech2Dataset, re_id=self.re_id, **kw))
         val = self._datasets("val", FastSpeech2Dataset, re_id=self.re_id, **kw)
         self.val_set = ConcatDataset(val) if val else None
+        # native C++ batch reads for the single-corpus case (monolingual
+        # training + the tune flows): one ctypes call per (batch, feature)
+        # instead of per-sample np.loads (data/native_loader.py)
+        self._native = None
+        if self.native_io and self.dvec_slices is None and \
+                len(self.train_set.datasets) == 1:
+            from fscl_tpu.data.native_loader import (
+                NativeCollate, native_available,
+            )
+            if native_available():
+                ds = self.train_set.datasets[0]
+                self._native = NativeCollate(
+                    ds.store, ds.config, self.model_cfg, ds.stats,
+                    id_offset=ds.id_offset,
+                    speaker_offset=ds.speaker_offset)
 
     def train_batches(self) -> Iterator[Batch]:
         """Infinite epochs of length-grouped batches (GroupBatchSampler,
@@ -121,9 +138,14 @@ class FastSpeech2DataModule(BaseDataModule):
             sampler = maybe_distribute(GroupBatchSampler(
                 lengths, bs, seed=self.train_cfg.seed + epoch))
             for idxs in sampler:
-                _, batch = collate_batch(
-                    [self.train_set[int(i)] for i in idxs],
-                    dvec_slices=self.dvec_slices)
+                if self._native is not None:
+                    ds = self.train_set.datasets[0]
+                    _, batch = self._native.collate(
+                        [ds.queries[int(i)] for i in idxs])
+                else:
+                    _, batch = collate_batch(
+                        [self.train_set[int(i)] for i in idxs],
+                        dvec_slices=self.dvec_slices)
                 yield batch
             epoch += 1
 

@@ -131,3 +131,29 @@ def test_frame_level_train_step(corpus):
     state, metrics = jax.jit(system.train_step)(
         state, batch, jax.random.PRNGKey(1))
     assert np.isfinite(float(metrics["Total Loss"]))
+
+
+@pytest.mark.skipif(not native_available(), reason="libfsclnpy unavailable")
+def test_datamodule_native_path_matches_python(corpus):
+    """FastSpeech2DataModule with native_io emits the same batches as the
+    Python per-sample path."""
+    from fscl_tpu.core.config import OptimConfig, TrainConfig
+    from fscl_tpu.data.datamodules import FastSpeech2DataModule
+
+    store, dc, split, _ = corpus
+    cfg = ModelConfig(speaker=SpeakerConfig(n_speakers=2))
+    tc = TrainConfig(optim=OptimConfig(batch_size=3))
+
+    dm_nat = FastSpeech2DataModule([dc], cfg, tc, native_io=True)
+    dm_py = FastSpeech2DataModule([dc], cfg, tc, native_io=False)
+    dm_nat.setup()
+    dm_py.setup()
+    assert dm_nat._native is not None
+    assert dm_py._native is None
+
+    b_nat = next(dm_nat.train_batches())
+    b_py = next(dm_py.train_batches())
+    for name, a, b in zip(b_nat._fields, b_nat, b_py):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-6,
+            err_msg=f"field {name}")
