@@ -105,6 +105,11 @@ class UpstreamConfig:
     dim: int = 1024
     n_layers: int = 25      # embeddings + 24 transformer layers
     layer_idx: Optional[int] = None  # pin a single layer instead of learned weights
+    # run the identical transformer layers as one lax.scan over stacked
+    # params: same function, ~n_layers x smaller traced graph (faster jit
+    # compiles of FSCL episode steps). Param layout converts with
+    # models.hubert.stack_layer_params.
+    scan_layers: bool = False
 
     @staticmethod
     def from_name(name: str, layer_idx: Optional[int] = None) -> "UpstreamConfig":

@@ -102,7 +102,14 @@ class TransformerLayer(nn.Module):
 
 
 class SSLUpstream(nn.Module):
-    """HuBERT/wav2vec2 encoder returning all hidden states."""
+    """HuBERT/wav2vec2 encoder returning all hidden states.
+
+    `scan_layers=True` runs the identical transformer layers as ONE
+    `lax.scan` over stacked params instead of 24 unrolled copies — the
+    traced graph shrinks ~n_layers x, which cuts jit compile time of every
+    FSCL episode step (the flagship meta-training program) while computing
+    the same function. Param layouts interconvert with
+    `stack_layer_params` / `unstack_layer_params`."""
     dim: int = 1024
     n_layers: int = 24
     n_heads: int = 16
@@ -110,6 +117,7 @@ class SSLUpstream(nn.Module):
     layer_norm_first: bool = True
     pos_conv_kernel: int = 128
     pos_conv_groups: int = 16
+    scan_layers: bool = False
 
     @nn.compact
     def __call__(self, wav, wav_valid=None):
@@ -136,6 +144,26 @@ class SSLUpstream(nn.Module):
         if not self.layer_norm_first:
             x = nn.LayerNorm(name="encoder_layer_norm")(x)
 
+        if self.scan_layers:
+            class _Body(TransformerLayer):
+                def __call__(self, carry, valid):  # scan signature
+                    out = TransformerLayer.__call__(self, carry, valid)
+                    return out, out
+
+            _Body.__name__ = "TransformerLayer"
+            layer_outs_carry = nn.scan(
+                _Body,
+                variable_axes={"params": 0},
+                split_rngs={"params": True},
+                in_axes=nn.broadcast,
+                length=self.n_layers,
+            )(self.dim, self.n_heads, self.ffn_dim, self.layer_norm_first,
+              name="layers")(x, frame_valid)
+            _, ys = layer_outs_carry           # ys: (n_layers, B, T', D)
+            hidden = jnp.concatenate(
+                [x[:, :, None], jnp.moveaxis(ys, 0, 2)], axis=2)
+            return hidden, frame_valid
+
         hiddens = [x]
         for i in range(self.n_layers):
             x = TransformerLayer(
@@ -152,17 +180,44 @@ class SSLUpstream(nn.Module):
         return hidden, frame_valid
 
 
+def stack_layer_params(params: dict, n_layers: int) -> dict:
+    """Per-layer param pytree ({layer_0..layer_{n-1}}) -> scan layout
+    ({layers: leaves with leading n_layers axis}). Other keys unchanged."""
+    import jax
+
+    p = {k: v for k, v in params.items() if not k.startswith("layer_")}
+    layers = [params[f"layer_{i}"] for i in range(n_layers)]
+    p["layers"] = jax.tree_util.tree_map(
+        lambda *xs: np.stack([np.asarray(x) for x in xs]), *layers)
+    return p
+
+
+def unstack_layer_params(params: dict) -> dict:
+    """Inverse of `stack_layer_params`."""
+    import jax
+
+    p = {k: v for k, v in params.items() if k != "layers"}
+    stacked = params["layers"]
+    n = jax.tree_util.tree_leaves(stacked)[0].shape[0]
+    for i in range(n):
+        p[f"layer_{i}"] = jax.tree_util.tree_map(
+            lambda x: np.asarray(x)[i], stacked)
+    return p
+
+
 def make_upstream(name: str = "hubert_large_ll60k", cfg=None) -> SSLUpstream:
     """`cfg` (core.config.UpstreamConfig) overrides dims for custom/tiny
     upstreams (smoke runs, unit tests); known names keep released shapes."""
+    scan = bool(getattr(cfg, "scan_layers", False))
     if name in ("hubert", "wav2vec2"):      # base models: 768d, 12 layers
         return SSLUpstream(dim=768, n_layers=12, n_heads=12, ffn_dim=3072,
-                           layer_norm_first=False)
+                           layer_norm_first=False, scan_layers=scan)
     if cfg is not None and cfg.dim != 1024:
         dim = cfg.dim
         return SSLUpstream(dim=dim, n_layers=max(cfg.n_layers - 1, 1),
-                           n_heads=max(dim // 64, 2), ffn_dim=4 * dim)
-    return SSLUpstream()                     # large: 1024d, 24 layers
+                           n_heads=max(dim // 64, 2), ffn_dim=4 * dim,
+                           scan_layers=scan)
+    return SSLUpstream(scan_layers=scan)     # large: 1024d, 24 layers
 
 
 def convert_torch_checkpoint(state_dict) -> dict:

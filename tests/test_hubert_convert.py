@@ -63,3 +63,36 @@ def test_hubert_conversion_parity():
         err = np.max(np.abs(a[:n] - b[:n]))
         denom = max(np.max(np.abs(b[:n])), 1e-3)
         assert err / denom < 5e-3, (i, err, denom)
+
+
+def test_scan_layers_matches_unrolled():
+    """scan_layers=True computes the same hidden stack as the unrolled
+    model once the per-layer params are stacked."""
+    import jax
+    import numpy as np
+
+    from fscl_tpu.models.hubert import (
+        SSLUpstream, stack_layer_params, unstack_layer_params,
+    )
+
+    kw = dict(dim=32, n_layers=3, n_heads=2, ffn_dim=64)
+    unrolled = SSLUpstream(**kw)
+    scanned = SSLUpstream(**kw, scan_layers=True)
+    rng = np.random.default_rng(0)
+    wav = rng.normal(size=(2, 4000)).astype(np.float32)
+    valid = np.ones_like(wav, bool)
+    variables = unrolled.init(jax.random.PRNGKey(0), wav, valid)
+    h_ref, v_ref = unrolled.apply(variables, wav, valid)
+
+    stacked = {"params": stack_layer_params(variables["params"], 3)}
+    h_scan, v_scan = scanned.apply(stacked, wav, valid)
+    assert h_scan.shape == h_ref.shape
+    np.testing.assert_allclose(np.asarray(h_scan), np.asarray(h_ref),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_array_equal(np.asarray(v_scan), np.asarray(v_ref))
+
+    # round trip back to the per-layer layout
+    back = unstack_layer_params(stacked["params"])
+    h2, _ = unrolled.apply({"params": back}, wav, valid)
+    np.testing.assert_allclose(np.asarray(h2), np.asarray(h_ref),
+                               rtol=1e-6, atol=1e-6)
