@@ -25,13 +25,18 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def main(n_steps: int = 30, sup_secs: float = 4.0, emit: bool = True):
+def main(n_steps: int = 30, sup_secs: float = 4.0, emit: bool = True,
+         scan_layers: bool = True):
     import jax
     jax.config.update("jax_compilation_cache_dir", "/tmp/fscl_tpu_jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import dataclasses
+
     import jax.numpy as jnp
 
-    from fscl_tpu.core.config import ModelConfig, OptimConfig, SpeakerConfig
+    from fscl_tpu.core.config import (
+        ModelConfig, OptimConfig, SpeakerConfig, UpstreamConfig,
+    )
     from fscl_tpu.data.batch import Batch, SupInfo
     from fscl_tpu.systems.fscl import Episode, TransEmbSystem
 
@@ -40,7 +45,11 @@ def main(n_steps: int = 30, sup_secs: float = 4.0, emit: bool = True):
     B, L, T = 8, 128, 512             # 8-query TTS batch
     Tw = int(sup_secs * 16000)
 
-    cfg = ModelConfig(speaker=SpeakerConfig(n_speakers=64), max_seq_len=1000)
+    # scan_layers: same function, ~24x smaller traced graph — the unrolled
+    # episode step does not finish compiling in 30 min through the tunnel
+    cfg = ModelConfig(
+        speaker=SpeakerConfig(n_speakers=64), max_seq_len=1000,
+        upstream=UpstreamConfig(scan_layers=scan_layers))
     system = TransEmbSystem(cfg, OptimConfig(), n_sym)
 
     rng = np.random.default_rng(0)
@@ -80,6 +89,7 @@ def main(n_steps: int = 30, sup_secs: float = 4.0, emit: bool = True):
 
     result = {
         "metric": "fscl_meta_episodes_per_sec_fullsize",
+        "scan_layers": scan_layers,
         "value": round(n_steps / dt, 2),
         "unit": "episodes/s",
         "ms_per_episode": round(1000 * dt / n_steps, 1),

@@ -288,8 +288,11 @@ def walk_lad(root: str, lang: str = "en") -> Iterator[WalkItem]:
 
 @_reg("TAT_TTS")
 def walk_tat_tts(root: str) -> Iterator[WalkItem]:
-    """<spk>/<partition>/<name>.wav + .json with Tai-lo transcription
-    (Parsers/TAT_TTS.py:12-37)."""
+    """<spk>/<partition>/<name>.wav + .json with Tai-lo transcription.
+    data_info carries spk/basename/partition (Parsers/TAT_TTS.py:12-37;
+    the reference file is marked unfinished and calls a non-existent
+    `os.isdir` — the partition-directory filter here is what that code
+    intends)."""
     for speaker in sorted(os.listdir(root)):
         sdir = os.path.join(root, speaker)
         if not os.path.isdir(sdir):
@@ -308,7 +311,8 @@ def walk_tat_tts(root: str) -> Iterator[WalkItem]:
                 with open(jpath, encoding="utf-8") as f:
                     labels = json.load(f)
                 text = labels.get("台羅數字調", "")
-                yield ({"spk": speaker, "basename": basename},
+                yield ({"spk": speaker, "basename": basename,
+                        "partition": partition},
                        os.path.join(pdir, filename), text)
 
 

@@ -98,6 +98,37 @@ class CSVSaver(Callback):
             writer.writerows(rows)
 
 
+class AdaptationSaver(Callback):
+    """Test-time adaptation artifacts: per-task CSV of the loss at every
+    inner fine-tuning step, keyed by the task id from SQids2Tid — the
+    reference meta saver's per-ft-step loss curves
+    (lightning/callbacks/saver.py:23-321). Feed it the losses returned by
+    `systems.tune.adapt_on_chip` / `adapt_many_on_chip`."""
+
+    def __init__(self, result_dir: str):
+        self.result_dir = result_dir
+        os.makedirs(result_dir, exist_ok=True)
+
+    def save_curve(self, tid: str, losses) -> str:
+        import numpy as np
+        losses = np.asarray(losses)
+        task_dir = os.path.join(self.result_dir, tid)
+        os.makedirs(task_dir, exist_ok=True)
+        path = os.path.join(task_dir, "adaptation.csv")
+        with open(path, "w", newline="") as f:
+            writer = csv.writer(f)
+            writer.writerow(["ft_step", "Total Loss"])
+            for i, v in enumerate(losses.tolist()):
+                writer.writerow([i, v])
+        return path
+
+    def save_many(self, tids, losses) -> list:
+        """losses: (n_tasks, n_steps) from adapt_many_on_chip."""
+        import numpy as np
+        losses = np.asarray(losses)
+        return [self.save_curve(t, losses[i]) for i, t in enumerate(tids)]
+
+
 class CheckpointCallback(Callback):
     def __init__(self, manager):
         self.manager = manager

@@ -198,8 +198,64 @@ def test_tat_tts(tmp_path):
     items = list(RAW_PARSERS.get("TAT_TTS")(root))
     assert len(items) == 1
     q, _, text = items[0]
-    assert q == {"spk": "spkT", "basename": "u1"}
+    # data_info carries partition like the reference (TAT_TTS.py:31-35)
+    assert q == {"spk": "spkT", "basename": "u1", "partition": "partA"}
     assert text == "li2 ho2"
+
+
+def test_tat_tts_realistic_layout(tmp_path):
+    """TAT-TTS corpus shape: several speakers x condition partitions, json
+    labels carrying the full annotation set (we use 台羅數字調 only), stray
+    non-directory entries at both levels."""
+    root = str(tmp_path)
+    labels = {
+        "台羅": "lí-hó",
+        "台羅數字調": "li2 ho2",
+        "漢羅台文": "你好",
+        "華文": "你好",
+    }
+    for spk in ("TTS_F1", "TTS_M2"):
+        for part in ("android_mobile", "condenser", "lavalier"):
+            for utt in ("0001-2.2", "0003-1.1"):
+                base = f"{spk}_{part}_{utt}"
+                pdir = os.path.join(root, spk, part)
+                touch(os.path.join(pdir, base + ".wav"))
+                touch(os.path.join(pdir, base + ".json"),
+                      json.dumps(labels, ensure_ascii=False))
+    touch(os.path.join(root, "README.txt"), "not a speaker dir")
+    touch(os.path.join(root, "TTS_F1", "notes.md"), "not a partition dir")
+    items = list(RAW_PARSERS.get("TAT_TTS")(root))
+    assert len(items) == 12
+    assert {q["spk"] for q, _, _ in items} == {"TTS_F1", "TTS_M2"}
+    assert {q["partition"] for q, _, _ in items} == {
+        "android_mobile", "condenser", "lavalier"}
+    assert all(t == "li2 ho2" for _, _, t in items)
+    # spk-basename keys (FeatureStore identity) must be unique
+    keys = [f"{q['spk']}-{q['basename']}" for q, _, _ in items]
+    assert len(set(keys)) == len(keys)
+
+
+def test_globalphone_realistic_layout(tmp_path):
+    """GlobalPhone preprocessed shape the reference expects: flat wav/ dir
+    of <SPK>_<utt>.wav (3-digit speaker ids) + corpus/<SPK>_<utt>.lab
+    transcripts; multiple speakers, multi-line labs (first line only)."""
+    root = str(tmp_path)
+    for spk in ("CZ031", "CZ047", "CZ102"):
+        for utt in ("1", "12", "123"):
+            base = f"{spk}_{utt}"
+            touch(os.path.join(root, "wav", base + ".wav"))
+            touch(os.path.join(root, "corpus", base + ".lab"),
+                  f"prepis vety {utt}\ndruhy radek se ignoruje\n")
+    items = list(RAW_PARSERS.get("GlobalPhone")(root))
+    assert len(items) == 9
+    q0, wav0, text0 = items[0]
+    assert q0 == {"spk": "CZ031", "basename": "CZ031-1"}
+    assert text0 == "prepis vety 1"
+    assert wav0.endswith(os.path.join("wav", "CZ031_1.wav"))
+    # only the first lab line is the transcript (globalphone.py:30-31)
+    assert all("radek" not in t for _, _, t in items)
+    keys = [f"{q['spk']}-{q['basename']}" for q, _, _ in items]
+    assert len(set(keys)) == len(keys)
 
 
 def test_registry_has_all_13():

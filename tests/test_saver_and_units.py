@@ -60,3 +60,21 @@ def test_unit_fscl_dataset(tmp_path):
     assert len(sample["phonemes"]) == 3        # unit labels, not MFA phones
     assert len(sample["avg_frames"]) == 3
     assert sample["n_symbols"] == n_symbols("test-units-8")
+
+
+def test_adaptation_saver(tmp_path):
+    import csv
+
+    import numpy as np
+
+    from fscl_tpu.obs.loggers import AdaptationSaver
+
+    saver = AdaptationSaver(str(tmp_path))
+    losses = np.array([[3.0, 2.0, 1.5], [4.0, 3.5, 3.0]], np.float32)
+    paths = saver.save_many(["tid-0", "tid-1"], losses)
+    assert len(paths) == 2
+    with open(paths[1]) as f:
+        rows = list(csv.reader(f))
+    assert rows[0] == ["ft_step", "Total Loss"]
+    assert [r[0] for r in rows[1:]] == ["0", "1", "2"]
+    assert abs(float(rows[1][1]) - 4.0) < 1e-6
