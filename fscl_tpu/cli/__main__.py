@@ -62,6 +62,12 @@ def main(argv=None):
     tu.add_argument("--model_config", default=None)
     tu.add_argument("--exp_dir", default="output/tune")
     tu.add_argument("--adaptation_steps", type=int, default=20000)
+    tu.add_argument("--scan_adapt", action="store_true",
+                    help="run the whole adaptation as ONE on-chip lax.scan "
+                         "(no per-step host round-trips) and write the "
+                         "per-step loss curve to adaptation.csv")
+    tu.add_argument("--scan_lr", type=float, default=1e-4,
+                    help="SGD learning rate for --scan_adapt")
 
     s = sub.add_parser("synth", help="synthesize from text")
     s.add_argument("--ckpt_dir", required=True)

@@ -69,9 +69,27 @@ def run(args):
     # supervised fine-tuning (all params optimized, BaselineTuneSystem)
     ckpt_dir = os.path.join(args.exp_dir, "ckpt")
     mgr = CheckpointManager(ckpt_dir, max_to_keep=3)
-    trainer = Trainer(baseline, train_cfg, callbacks=[
-        LossTableLogger(os.path.join(args.exp_dir, "log")),
-        CheckpointCallback(mgr)])
-    b_state = trainer.fit(b_state, dm.train_batches())
+    if getattr(args, "scan_adapt", False):
+        # whole adaptation as ONE on-chip lax.scan — no per-step host
+        # round-trips; per-ft-step loss curve saved like the reference's
+        # meta saver CSVs (lightning/callbacks/saver.py:23-321)
+        from fscl_tpu.obs.loggers import AdaptationSaver
+        from fscl_tpu.systems.tune import adapt_on_chip
+        gen = dm.train_batches()
+        batches = [next(gen) for _ in range(args.adaptation_steps)]
+        new_params, losses = adapt_on_chip(
+            baseline, b_state.params, b_state.batch_stats, batches,
+            lr=args.scan_lr, symbol_id=dc.symbol_id)
+        b_state = b_state.replace(params=new_params)
+        saver = AdaptationSaver(os.path.join(args.exp_dir, "csv"))
+        path = saver.save_curve(dc.symbol_id, np.asarray(losses))
+        print(f"[tune] scan adaptation loss "
+              f"{float(np.asarray(losses)[0]):.3f} -> "
+              f"{float(np.asarray(losses)[-1]):.3f}; curve at {path}")
+    else:
+        trainer = Trainer(baseline, train_cfg, callbacks=[
+            LossTableLogger(os.path.join(args.exp_dir, "log")),
+            CheckpointCallback(mgr)])
+        b_state = trainer.fit(b_state, dm.train_batches())
     mgr.save(int(b_state.step), b_state)
     print(f"[tune] adapted to {dc.symbol_id}; ckpts in {ckpt_dir}")

@@ -476,7 +476,8 @@ def model_config_from_yaml(path: str) -> ModelConfig:
             name=up.get("name", "hubert_large_ll60k"),
             dim=up.get("dim", 1024),
             n_layers=up.get("n_layers", 25),
-            layer_idx=up.get("layer_idx")))
+            layer_idx=up.get("layer_idx"),
+            scan_layers=up.get("scan_layers", False)))
     # reference model YAMLs select the speaker path with a top-level
     # `speaker_emb` key (config/model/fscl-fastspeech2.yaml:44 "dvec")
     spk = raw.get("speaker", {})

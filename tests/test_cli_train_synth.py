@@ -102,6 +102,35 @@ def run_cli(*args, timeout=420):
 
 
 @pytest.mark.slow
+def test_cli_tune_scan_adapt(cli_corpus, tmp_path):
+    """`fscl_tpu tune --scan_adapt`: embedding transplant from a (random
+    init) FSCL system, then the whole few-shot adaptation as ONE on-chip
+    lax.scan, with the per-ft-step loss curve CSV (reference --tune path,
+    SURVEY §3.3 + meta saver CSVs)."""
+    with open(cli_corpus / "tune_model.yaml", "w") as f:
+        f.write(
+            "transformer:\n  encoder_layer: 1\n  decoder_layer: 1\n"
+            "  encoder_hidden: 32\n  decoder_hidden: 32\n"
+            "  conv_filter_size: 32\n  encoder_head: 2\n  decoder_head: 2\n"
+            "max_seq_len: 64\n"
+            "upstream:\n  name: tiny\n  dim: 16\n  n_layers: 2\n"
+            "codebook:\n  size: 8\n  nhead: 2\n")
+    exp = str(tmp_path / "tune_exp")
+    r = run_cli("tune", "--data_config", str(cli_corpus / "data.yaml"),
+                "--model_config", str(cli_corpus / "tune_model.yaml"),
+                "--exp_dir", exp, "--adaptation_steps", "4",
+                "--scan_adapt", "--scan_lr", "1e-4")
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "scan adaptation loss" in r.stdout
+    csv_path = os.path.join(exp, "csv", "en", "adaptation.csv")
+    assert os.path.isfile(csv_path)
+    with open(csv_path) as f:
+        lines = f.read().strip().splitlines()
+    assert lines[0] == "ft_step,Total Loss" and len(lines) == 5
+    assert os.path.isdir(os.path.join(exp, "ckpt"))
+
+
+@pytest.mark.slow
 def test_cli_train_then_synth(cli_corpus, tmp_path):
     exp = str(tmp_path / "exp")
     r = run_cli("train", "--system", "baseline",
