@@ -90,6 +90,29 @@ def stack_batches(batches: List[Batch]) -> Batch:
         lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]), *batches)
 
 
+def _get_adapt_fn(baseline: BaselineSystem, symbol_id: Optional[str],
+                  many: bool):
+    """Jitted adaptation scan, cached on the system instance so repeated
+    calls (task after task at evaluation time) re-trace nothing.
+    batch_stats and lr are dynamic arguments — changing them does not
+    recompile; only a new (symbol_id, many) pair does."""
+    cache = baseline.__dict__.setdefault("_adapt_jit_cache", {})
+    key = (symbol_id, many)
+    fn = cache.get(key)
+    if fn is None:
+        def single(p, bs, b, lr):
+            loss_fn = _make_task_loss_fn(baseline, bs, symbol_id)
+            return fast_adaptation_scan(loss_fn, p, b, lr)
+
+        if many:
+            fn = jax.jit(lambda p, bs, b, lr: jax.vmap(
+                lambda bb: single(p, bs, bb, lr))(b))
+        else:
+            fn = jax.jit(single)
+        cache[key] = fn
+    return fn
+
+
 def adapt_on_chip(
     baseline: BaselineSystem,
     params: Dict[str, Any],
@@ -102,11 +125,8 @@ def adapt_on_chip(
     — no host round-trips between steps. Returns (adapted params,
     per-step losses)."""
     stacked = stack_batches(batches)
-    loss_fn = _make_task_loss_fn(baseline, batch_stats, symbol_id)
-
-    return jax.jit(
-        lambda p, b: fast_adaptation_scan(loss_fn, p, b, lr)
-    )(params, stacked)
+    fn = _get_adapt_fn(baseline, symbol_id, many=False)
+    return fn(params, batch_stats, stacked, jnp.float32(lr))
 
 
 def _make_task_loss_fn(baseline: BaselineSystem, batch_stats,
@@ -154,11 +174,8 @@ def adapt_many_on_chip(
     Returns (adapted params stacked on a leading task axis,
     losses of shape (n_tasks, n_steps))."""
     stacked = stack_tasks(task_batches)
-    loss_fn = _make_task_loss_fn(baseline, batch_stats, symbol_id)
-
-    return jax.jit(jax.vmap(
-        lambda b: fast_adaptation_scan(loss_fn, params, b, lr)
-    ))(stacked)
+    fn = _get_adapt_fn(baseline, symbol_id, many=True)
+    return fn(params, batch_stats, stacked, jnp.float32(lr))
 
 
 def adapt_many_sharded(
