@@ -76,7 +76,7 @@ class TransEmbADASystem(TransEmbSystem):
         self.ada_stage = ada_stage
         self.ada_encoder = ADAEncoder(self.model_cfg)
 
-    def _ada_input(self, episode: "Episode"):
+    def _ada_input(self, episode: "Episode", frozen=None):
         """What the ADA encoder consumes: target mels (mel variant)."""
         qry = episode.qry
         return qry.mels, length_mask(qry.mel_lens, qry.mels.shape[1])
@@ -106,18 +106,19 @@ class TransEmbADASystem(TransEmbSystem):
             params)
 
     def common_ada_step(self, params, batch_stats, episode: Episode, rng,
-                        train):
+                        train, frozen=None):
         """(TransEmbADA.common_ada_step, TransEmbADA.py:76-96)."""
         qry = episode.qry
         mel_valid = length_mask(qry.mel_lens, qry.mels.shape[1])
 
         # reference pass for the decoder input (no grad, like torch.no_grad)
-        out, _ = self.common_step(params, batch_stats, episode, rng, False)
+        out, _ = self.common_step(params, batch_stats, episode, rng, False,
+                                  frozen)
         hooked = jax.lax.stop_gradient(out.decoder_input)
 
         rngs = ({"dropout": jax.random.fold_in(rng, 1)}
                 if train and rng is not None else None)
-        ada_in, ada_valid = self._ada_input(episode)
+        ada_in, ada_valid = self._ada_input(episode, frozen)
         feat = self.ada_encoder.apply(
             {"params": params["ada"]}, ada_in, ada_valid,
             not (train and rng is not None), rngs=rngs)
@@ -138,9 +139,9 @@ class TransEmbADASystem(TransEmbSystem):
         }
 
     def loss_and_metrics(self, params, batch_stats, episode: Episode, rng,
-                         train):
+                         train, frozen=None):
         metrics = self.common_ada_step(params, batch_stats, episode, rng,
-                                       train)
+                                       train, frozen)
         return self._total_from_metrics(metrics)
 
     def _total_from_metrics(self, metrics):
@@ -171,11 +172,12 @@ class TransEmbSSLADASystem(TransEmbADASystem):
         super().__init__(*args, **kwargs)
         self.ssl_layer_idx = ssl_layer_idx
 
-    def _ada_input(self, episode):
+    def _ada_input(self, episode, frozen=None):
         from fscl_tpu.systems.conti_ae import interpolate_frames
         qry = episode.qry
         hidden, _ = self.extract_ssl(
-            jnp.asarray(episode.qry_wavs), jnp.asarray(episode.qry_wav_lens))
+            jnp.asarray(episode.qry_wavs), jnp.asarray(episode.qry_wav_lens),
+            frozen.get("upstream") if frozen else None)
         feat = hidden[:, :, self.ssl_layer_idx]
         feat = interpolate_frames(feat, qry.mels.shape[1])
         return feat, length_mask(qry.mel_lens, qry.mels.shape[1])

@@ -27,6 +27,13 @@ class TrainState:
     params: Any
     batch_stats: Any
     opt_state: Any
+    # Non-optimized parameter collections (e.g. the frozen SSL upstream).
+    # Threaded through train/eval steps as a RUNTIME argument: closing over
+    # a 300M-param pytree instead bakes it into the jitted program as
+    # literal constants (a multi-GB HLO that breaks remote compilation and
+    # defeats donation). Stripped from checkpoints like the reference
+    # strips frozen upstream weights on save (TransEmbOrig.py:156-166).
+    frozen: Any = None
 
     def variables(self) -> Dict[str, Any]:
         v = {"params": self.params}
@@ -45,6 +52,7 @@ def create_state(
         params=params,
         batch_stats=variables.get("batch_stats"),
         opt_state=tx.init(params),
+        frozen=variables.get("frozen"),
     ), tx
 
 
@@ -72,8 +80,11 @@ class System:
     def init_variables(self, rng, batch) -> Dict[str, Any]:
         raise NotImplementedError
 
-    def loss_and_metrics(self, params, batch_stats, batch, rng, train: bool):
-        """Return (loss, (metrics_dict, new_batch_stats))."""
+    def loss_and_metrics(self, params, batch_stats, batch, rng, train: bool,
+                         frozen=None):
+        """Return (loss, (metrics_dict, new_batch_stats)). `frozen` carries
+        non-optimized collections from TrainState.frozen (None for systems
+        without them)."""
         raise NotImplementedError
 
     def trainable_mask(self, params):
@@ -101,11 +112,11 @@ class System:
         key = jax.random.fold_in(rng, state.step)
         grad_fn = jax.value_and_grad(self.loss_and_metrics, has_aux=True)
         (loss, (metrics, new_bs)), grads = grad_fn(
-            state.params, state.batch_stats, batch, key, True)
+            state.params, state.batch_stats, batch, key, True, state.frozen)
         state = apply_grads(state, grads, self.tx, new_bs)
         return state, metrics
 
     def eval_step(self, state: TrainState, batch, rng):
         _, (metrics, _) = self.loss_and_metrics(
-            state.params, state.batch_stats, batch, rng, False)
+            state.params, state.batch_stats, batch, rng, False, state.frozen)
         return metrics

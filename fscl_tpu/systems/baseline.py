@@ -101,7 +101,8 @@ class BaselineSystem(System):
             new_bs = {"model": updates["batch_stats"]}
         return out, new_bs
 
-    def loss_and_metrics(self, params, batch_stats, batch: Batch, rng, train):
+    def loss_and_metrics(self, params, batch_stats, batch: Batch, rng, train,
+                         frozen=None):
         out, new_bs = self.forward(params, batch_stats, batch, rng, train)
         losses = fastspeech2_loss(
             out.mel, out.postnet_mel, out.pitch_prediction,

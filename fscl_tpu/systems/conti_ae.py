@@ -61,10 +61,12 @@ class ContiAESystem(System):
     def init_upstream(self, rng, example_wav):
         self.upstream_params = self.upstream.init(rng, example_wav)
 
-    def extract_layer(self, wavs, wav_lens):
+    def extract_layer(self, wavs, wav_lens, upstream_params=None):
+        if upstream_params is None:
+            upstream_params = self.upstream_params
         valid = length_mask(wav_lens, wavs.shape[-1])
         hidden, frame_valid = self.upstream.apply(
-            jax.lax.stop_gradient(self.upstream_params), wavs, valid)
+            jax.lax.stop_gradient(upstream_params), wavs, valid)
         return jax.lax.stop_gradient(hidden[:, :, self.layer_idx]), frame_valid
 
     def init_variables(self, rng, batch: ContiAEBatch) -> Dict[str, Any]:
@@ -82,12 +84,15 @@ class ContiAESystem(System):
             r3, x, mel_valid, method=FastSpeech2.decode)
         return {"params": {"embed": emb_vars["params"],
                            "model": dec_vars["params"]},
+                "frozen": {"upstream": self.upstream_params},
                 **({"batch_stats": {"model": dec_vars["batch_stats"]}}
                    if "batch_stats" in dec_vars else {})}
 
     def loss_and_metrics(self, params, batch_stats, batch: ContiAEBatch,
-                         rng, train):
-        feats, _ = self.extract_layer(batch.wavs, batch.wav_lens)
+                         rng, train, frozen=None):
+        feats, _ = self.extract_layer(
+            batch.wavs, batch.wav_lens,
+            frozen.get("upstream") if frozen else None)
         x = self.embed.apply({"params": params["embed"]}, feats)
         x = interpolate_frames(x, batch.mels.shape[1])
         mel_valid = length_mask(batch.mel_lens, batch.mels.shape[1])
@@ -132,12 +137,14 @@ class SemiTransEmbSystem(TransEmbSystem):
         return variables
 
     def loss_and_metrics(self, params, batch_stats, episode: SemiEpisode,
-                         rng, train):
+                         rng, train, frozen=None):
         sup_total, (metrics, new_bs) = super().loss_and_metrics(
-            params, batch_stats, episode.sup_episode, rng, train)
+            params, batch_stats, episode.sup_episode, rng, train, frozen)
 
         unsup = episode.unsup
-        hidden, _ = self.extract_ssl(unsup.wavs, unsup.wav_lens)
+        hidden, _ = self.extract_ssl(
+            unsup.wavs, unsup.wav_lens,
+            frozen.get("upstream") if frozen else None)
         x = self.unsup_embed.apply(
             {"params": params["unsup_embed"]}, hidden[:, :, self.layer_idx])
         from fscl_tpu.systems.conti_ae import interpolate_frames

@@ -80,13 +80,18 @@ class TransEmbSystem(System):
     def load_upstream(self, variables) -> None:
         self.upstream_params = variables
 
-    def extract_ssl(self, wavs, wav_lens):
+    def extract_ssl(self, wavs, wav_lens, upstream_params=None):
         """Frozen SSL forward; gradients stopped (reference: torch.no_grad
-        at TransEmbOrig.py:60)."""
-        assert self.upstream_params is not None, "init_upstream first"
+        at TransEmbOrig.py:60). Pass `upstream_params` (from
+        TrainState.frozen) inside jitted steps so the weights stay a
+        runtime argument; the host-side fallback closes over
+        self.upstream_params."""
+        if upstream_params is None:
+            upstream_params = self.upstream_params
+        assert upstream_params is not None, "init_upstream first"
         valid = length_mask(wav_lens, wavs.shape[-1])
         hidden, frame_valid = self.upstream.apply(
-            jax.lax.stop_gradient(self.upstream_params), wavs, valid)
+            jax.lax.stop_gradient(upstream_params), wavs, valid)
         return jax.lax.stop_gradient(hidden), frame_valid
 
     # -- episode embedding table ----------------------------------------------
@@ -125,16 +130,20 @@ class TransEmbSystem(System):
             lang_args=jnp.asarray(qry.lang_ids),
         )
         variables = {"params": {"codebook": cb_vars["params"],
-                                "model": model_vars["params"]}}
+                                "model": model_vars["params"]},
+                     "frozen": {"upstream": self.upstream_params}}
         if "batch_stats" in model_vars:
             variables["batch_stats"] = {"model": model_vars["batch_stats"]}
         return variables
 
     # -- episode forward --------------------------------------------------------
-    def common_step(self, params, batch_stats, episode: Episode, rng, train):
+    def common_step(self, params, batch_stats, episode: Episode, rng, train,
+                    frozen=None):
         """(TransEmbOrig.common_step, TransEmbOrig.py:93-126)."""
         sup, qry = episode.sup, episode.qry
-        ssl_hidden, _ = self.extract_ssl(sup.wavs, sup.wav_lens)
+        ssl_hidden, _ = self.extract_ssl(
+            sup.wavs, sup.wav_lens,
+            frozen.get("upstream") if frozen else None)
         table = self.build_embedding_table(params, ssl_hidden, sup)
         emb_texts = jnp.take(table, qry.texts, axis=0)
         emb_texts = jnp.where((qry.texts == 0)[..., None], 0.0, emb_texts)
@@ -159,8 +168,10 @@ class TransEmbSystem(System):
             new_bs = {"model": updates["batch_stats"]}
         return out, new_bs
 
-    def loss_and_metrics(self, params, batch_stats, episode: Episode, rng, train):
-        out, new_bs = self.common_step(params, batch_stats, episode, rng, train)
+    def loss_and_metrics(self, params, batch_stats, episode: Episode, rng,
+                         train, frozen=None):
+        out, new_bs = self.common_step(params, batch_stats, episode, rng,
+                                       train, frozen)
         qry = episode.qry
         losses = fastspeech2_loss(
             out.mel, out.postnet_mel, out.pitch_prediction,

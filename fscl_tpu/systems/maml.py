@@ -94,11 +94,13 @@ class MAMLTransEmbSystem(TransEmbSystem):
         return losses
 
     def loss_and_metrics(self, params, batch_stats, episode: Episode, rng,
-                         train):
+                         train, frozen=None):
         assert episode.sup_batch is not None, (
             "MAML system needs collate_episode(with_sup_batch=True)")
         sup, qry = episode.sup, episode.qry
-        ssl_hidden, _ = self.extract_ssl(sup.wavs, sup.wav_lens)
+        ssl_hidden, _ = self.extract_ssl(
+            sup.wavs, sup.wav_lens,
+            frozen.get("upstream") if frozen else None)
         table = self.build_embedding_table(params, ssl_hidden, sup)
 
         # inner loop: adapt (table, model params) on the support TTS batch
@@ -179,11 +181,13 @@ class IMAMLTransEmbSystem(MAMLTransEmbSystem):
         self.reg_param = reg_param
 
     def loss_and_metrics(self, params, batch_stats, episode: Episode, rng,
-                         train):
+                         train, frozen=None):
         assert episode.sup_batch is not None, (
             "iMAML system needs collate_episode(with_sup_batch=True)")
         sup, qry = episode.sup, episode.qry
-        ssl_hidden, _ = self.extract_ssl(sup.wavs, sup.wav_lens)
+        ssl_hidden, _ = self.extract_ssl(
+            sup.wavs, sup.wav_lens,
+            frozen.get("upstream") if frozen else None)
         table = self.build_embedding_table(params, ssl_hidden, sup)
         theta = {"table": table, "model": params["model"]}
         lam = self.reg_param

@@ -67,11 +67,13 @@ class _SSLPRBase(System):
     def init_upstream(self, rng, example_wav) -> None:
         self.upstream_params = self.upstream.init(rng, example_wav)
 
-    def extract_ssl(self, wavs, wav_lens):
-        assert self.upstream_params is not None
+    def extract_ssl(self, wavs, wav_lens, upstream_params=None):
+        if upstream_params is None:
+            upstream_params = self.upstream_params
+        assert upstream_params is not None
         valid = length_mask(wav_lens, wavs.shape[-1])
         hidden, frame_valid = self.upstream.apply(
-            jax.lax.stop_gradient(self.upstream_params), wavs, valid)
+            jax.lax.stop_gradient(upstream_params), wavs, valid)
         return jax.lax.stop_gradient(hidden), frame_valid
 
     def frame_labels(self, batch: PRBatch, n_frames: int):
@@ -99,15 +101,19 @@ class SSLLinearSystem(_SSLPRBase):
         x = self.downstream.apply(ds_vars, hidden)
         head_vars = self.head.init(r3, x, batch.symbol_id)
         return {"params": {"downstream": ds_vars["params"],
-                           "head": head_vars["params"]}}
+                           "head": head_vars["params"]},
+                "frozen": {"upstream": self.upstream_params}}
 
-    def logits(self, params, batch: PRBatch):
-        hidden, _ = self.extract_ssl(batch.wavs, batch.wav_lens)
+    def logits(self, params, batch: PRBatch, upstream_params=None):
+        hidden, _ = self.extract_ssl(batch.wavs, batch.wav_lens,
+                                     upstream_params)
         x = self.downstream.apply({"params": params["downstream"]}, hidden)
         return self.head.apply({"params": params["head"]}, x, batch.symbol_id)
 
-    def loss_and_metrics(self, params, batch_stats, batch: PRBatch, rng, train):
-        logits = self.logits(params, batch)
+    def loss_and_metrics(self, params, batch_stats, batch: PRBatch, rng,
+                         train, frozen=None):
+        logits = self.logits(params, batch,
+                             frozen.get("upstream") if frozen else None)
         labels = self.frame_labels(batch, logits.shape[1])
         loss = framewise_ce_loss(logits, labels)
         acc = framewise_accuracy(logits, labels)
@@ -138,17 +144,22 @@ class SSLBaselineSystem(_SSLPRBase):
         x = self.downstream.apply(ds_vars, hidden, frame_valid)
         head_vars = self.head.init(r3, x, batch.symbol_id)
         return {"params": {"downstream": ds_vars["params"],
-                           "head": head_vars["params"]}}
+                           "head": head_vars["params"]},
+                "frozen": {"upstream": self.upstream_params}}
 
-    def logits(self, params, batch: PRBatch, rng=None, train=False):
-        hidden, frame_valid = self.extract_ssl(batch.wavs, batch.wav_lens)
+    def logits(self, params, batch: PRBatch, rng=None, train=False,
+               upstream_params=None):
+        hidden, frame_valid = self.extract_ssl(batch.wavs, batch.wav_lens,
+                                               upstream_params)
         x = self.downstream.apply(
             {"params": params["downstream"]}, hidden, frame_valid,
             not train, rngs={"dropout": rng} if train and rng is not None else None)
         return self.head.apply({"params": params["head"]}, x, batch.symbol_id)
 
-    def loss_and_metrics(self, params, batch_stats, batch: PRBatch, rng, train):
-        logits = self.logits(params, batch, rng, train)
+    def loss_and_metrics(self, params, batch_stats, batch: PRBatch, rng,
+                         train, frozen=None):
+        logits = self.logits(params, batch, rng, train,
+                             frozen.get("upstream") if frozen else None)
         labels = self.frame_labels(batch, logits.shape[1])
         loss = framewise_ce_loss(logits, labels)
         acc = framewise_accuracy(logits, labels)
@@ -184,10 +195,13 @@ class SSLProtoNetSystem(_SSLPRBase):
         hidden, frame_valid = self.extract_ssl(
             jnp.asarray(episode.sup.wavs), jnp.asarray(episode.sup.wav_lens))
         ds_vars = self.downstream.init(r2, hidden, frame_valid)
-        return {"params": {"downstream": ds_vars["params"]}}
+        return {"params": {"downstream": ds_vars["params"]},
+                "frozen": {"upstream": self.upstream_params}}
 
-    def build_prototypes(self, params, sup: PRBatch, rng=None, train=False):
-        hidden, frame_valid = self.extract_ssl(sup.wavs, sup.wav_lens)
+    def build_prototypes(self, params, sup: PRBatch, rng=None, train=False,
+                         upstream_params=None):
+        hidden, frame_valid = self.extract_ssl(sup.wavs, sup.wav_lens,
+                                               upstream_params)
         x = self.downstream.apply(
             {"params": params["downstream"]}, hidden, frame_valid,
             not train, rngs={"dropout": rng} if train and rng is not None else None)
@@ -195,8 +209,10 @@ class SSLProtoNetSystem(_SSLPRBase):
             x[:, :, None, :], sup.avg_frames, sup.phonemes, sup.n_symbols)
         return protos[0, :, 0]        # (n_symbols, d)
 
-    def classify(self, params, protos, qry: PRBatch, rng=None, train=False):
-        hidden, frame_valid = self.extract_ssl(qry.wavs, qry.wav_lens)
+    def classify(self, params, protos, qry: PRBatch, rng=None, train=False,
+                 upstream_params=None):
+        hidden, frame_valid = self.extract_ssl(qry.wavs, qry.wav_lens,
+                                               upstream_params)
         x = self.downstream.apply(
             {"params": params["downstream"]}, hidden, frame_valid,
             not train, rngs={"dropout": rng} if train and rng is not None else None)
@@ -204,10 +220,11 @@ class SSLProtoNetSystem(_SSLPRBase):
         return -jnp.sum(d * d, axis=-1)   # (B, T, n_symbols) -L2^2 logits
 
     def loss_and_metrics(self, params, batch_stats, episode: PREpisode,
-                         rng, train):
+                         rng, train, frozen=None):
+        up = frozen.get("upstream") if frozen else None
         r1, r2 = (jax.random.split(rng) if rng is not None else (None, None))
-        protos = self.build_prototypes(params, episode.sup, r1, train)
-        logits = self.classify(params, protos, episode.qry, r2, train)
+        protos = self.build_prototypes(params, episode.sup, r1, train, up)
+        logits = self.classify(params, protos, episode.qry, r2, train, up)
         labels = self.frame_labels(episode.qry, logits.shape[1])
         loss = framewise_ce_loss(logits, labels)
         acc = framewise_accuracy(logits, labels)

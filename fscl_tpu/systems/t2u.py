@@ -108,7 +108,8 @@ class TacoT2USystem(System):
             logits, aligns = out
         return logits, aligns, new_bs
 
-    def loss_and_metrics(self, params, batch_stats, batch: T2UBatch, rng, train):
+    def loss_and_metrics(self, params, batch_stats, batch: T2UBatch, rng,
+                         train, frozen=None):
         logits, _, new_bs = self.forward(params, batch_stats, batch, rng, train)
         loss = framewise_ce_loss(logits, batch.units)
         acc = framewise_accuracy(logits, batch.units)
@@ -138,11 +139,13 @@ class TransEmbT2USystem(System):
     def init_upstream(self, rng, example_wav) -> None:
         self.upstream_params = self.upstream.init(rng, example_wav)
 
-    def extract_ssl(self, wavs, wav_lens):
-        assert self.upstream_params is not None
+    def extract_ssl(self, wavs, wav_lens, upstream_params=None):
+        if upstream_params is None:
+            upstream_params = self.upstream_params
+        assert upstream_params is not None
         valid = length_mask(wav_lens, wavs.shape[-1])
         hidden, frame_valid = self.upstream.apply(
-            jax.lax.stop_gradient(self.upstream_params), wavs, valid)
+            jax.lax.stop_gradient(upstream_params), wavs, valid)
         return jax.lax.stop_gradient(hidden), frame_valid
 
     def build_embedding_table(self, params, ssl_hidden, sup: SupInfo,
@@ -173,15 +176,18 @@ class TransEmbT2USystem(System):
             r3, emb, jnp.asarray(qry.src_lens), jnp.asarray(qry.units), r4)
         variables = {"params": {
             "embedding_generator": gen_vars["params"],
-            "model": model_vars["params"]}}
+            "model": model_vars["params"]},
+            "frozen": {"upstream": self.upstream_params}}
         if "batch_stats" in model_vars:
             variables["batch_stats"] = {"model": model_vars["batch_stats"]}
         return variables
 
     def common_step(self, params, batch_stats, episode: T2UEpisode, rng,
-                    train, step=0):
+                    train, step=0, frozen=None):
         sup, qry = episode
-        ssl_hidden, _ = self.extract_ssl(sup.wavs, sup.wav_lens)
+        ssl_hidden, _ = self.extract_ssl(
+            sup.wavs, sup.wav_lens,
+            frozen.get("upstream") if frozen else None)
         table = self.build_embedding_table(params, ssl_hidden, sup)
         emb_texts = jnp.take(table, qry.texts, axis=0)
         emb_texts = jnp.where((qry.texts == 0)[..., None], 0.0, emb_texts)
@@ -208,9 +214,9 @@ class TransEmbT2USystem(System):
         return logits, aligns, new_bs
 
     def loss_and_metrics(self, params, batch_stats, episode: T2UEpisode,
-                         rng, train):
+                         rng, train, frozen=None):
         logits, _, new_bs = self.common_step(
-            params, batch_stats, episode, rng, train)
+            params, batch_stats, episode, rng, train, frozen=frozen)
         loss = framewise_ce_loss(logits, episode.qry.units)
         acc = framewise_accuracy(logits, episode.qry.units)
         return loss, ({"Total Loss": loss, "Acc": acc}, new_bs)

@@ -138,7 +138,7 @@ class E2ETuneSystem(TacoT2USystem):
         )
 
     def loss_and_metrics(self, params, batch_stats, batch: E2EBatch, rng,
-                         train):
+                         train, frozen=None):
         logits, _, new_bs = self.forward(
             params, batch_stats, batch.t2u, rng, train)
         t2u_loss = framewise_ce_loss(logits, batch.t2u.units)
@@ -191,10 +191,10 @@ class DAE2ETuneSystem(E2ETuneSystem):
         return variables
 
     def loss_and_metrics(self, params, batch_stats, batch: "DAE2EBatch",
-                         rng, train):
+                         rng, train, frozen=None):
         e2e_total, (metrics, new_bs) = super().loss_and_metrics(
             params, batch_stats, E2EBatch(t2u=batch.t2u, u2s=batch.u2s),
-            rng, train)
+            rng, train, frozen)
         # recompute logits for the DA term (cheap relative to the chain)
         logits, _, _ = self.forward(params, batch_stats, batch.t2u,
                                     rng, False)
@@ -235,7 +235,7 @@ class DATuneSystem(TacoT2USystem):
         return variables
 
     def loss_and_metrics(self, params, batch_stats, batch: DABatch, rng,
-                         train):
+                         train, frozen=None):
         logits, _, new_bs = self.forward(
             params, batch_stats, batch.t2u, rng, train)
         t2u_loss = framewise_ce_loss(logits, batch.t2u.units)
