@@ -18,6 +18,27 @@ import time
 import numpy as np
 
 
+def _emit_subprocess_metric(metric: str, unit: str, code: str,
+                            timeout: int = 1200):
+    """Run a sub-benchmark in a fresh interpreter and re-emit its final JSON
+    line with vs_baseline=None; emit an error record instead of raising."""
+    import subprocess
+    import sys
+    repo = os.path.dirname(os.path.abspath(__file__))
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", f"import sys; sys.path.insert(0, {repo!r}); " + code],
+            capture_output=True, text=True, timeout=timeout, cwd=repo)
+        line = [l for l in proc.stdout.strip().splitlines()
+                if l.startswith("{")][-1]
+        rec = json.loads(line)
+        rec.setdefault("vs_baseline", None)
+        print(json.dumps(rec))
+    except Exception as e:  # pragma: no cover - defensive
+        print(json.dumps({"metric": metric, "value": None, "unit": unit,
+                          "vs_baseline": None, "error": str(e)[:200]}))
+
+
 def main():
     import jax
     jax.config.update("jax_compilation_cache_dir", "/tmp/fscl_tpu_jax_cache")
@@ -82,35 +103,22 @@ def main():
         with open(baseline_path) as f:
             vs = value / json.load(f)["value"]
 
-    # Full-size training throughput (BASELINE.md round-2: 61 steps/s after
-    # eliminating per-step host ops). Never let it sink the headline metric.
-    try:
-        from benchmarks.bench_train_precision import measure
-        tr = measure("float32")
-        print(json.dumps({
-            "metric": "fastspeech2_train_steps_per_sec_full_size",
-            "value": tr["steps_per_sec"], "unit": "steps/s",
-            "vs_baseline": None}))
-    except Exception as e:  # pragma: no cover - defensive
-        print(json.dumps({
-            "metric": "fastspeech2_train_steps_per_sec_full_size",
-            "value": None, "unit": "steps/s", "vs_baseline": None,
-            "error": str(e)[:200]}))
-
-    # Secondary north-star metric: few-shot inner-loop adaptation steps/s.
-    # Emitted FIRST so the headline synthesis line stays last (single-line
-    # parsers read the last line). Never let it sink the headline metric.
-    try:
-        import benchmarks.bench_adaptation as ba
-        adapt = ba.main(emit=False)
-        adapt["vs_baseline"] = None  # no CPU reference measurement exists
-        print(json.dumps(adapt))
-    except Exception as e:  # pragma: no cover - defensive
-        print(json.dumps({
-            "metric": "few_shot_adaptation_inner_loop_steps_per_sec",
-            "value": None, "unit": "steps/s", "vs_baseline": None,
-            "error": str(e)[:200],
-        }))
+    # Secondary metrics run in FRESH SUBPROCESSES: measuring twice in one
+    # process through the axon tunnel degrades the later numbers up to ~9x
+    # (BASELINE.md "MEASUREMENT PITFALL"; adaptation read 47 steps/s after
+    # the train bench in-process vs 425 standalone). A per-metric timeout
+    # also keeps one wedged tunnel compile from sinking the whole bench.
+    _emit_subprocess_metric(
+        "fastspeech2_train_steps_per_sec_full_size", "steps/s",
+        "from benchmarks.bench_train_precision import measure; import json; "
+        "r = measure('float32'); r['metric'] = "
+        "'fastspeech2_train_steps_per_sec_full_size'; "
+        "r['value'] = r.pop('steps_per_sec'); r['unit'] = 'steps/s'; "
+        "print(json.dumps(r))")
+    _emit_subprocess_metric(
+        "few_shot_adaptation_inner_loop_steps_per_sec", "steps/s",
+        "import benchmarks.bench_adaptation as ba; import json; "
+        "print(json.dumps(ba.main(emit=False)))")
 
     print(json.dumps({
         "metric": "fastspeech2_synthesis_mel_frames_per_sec_per_chip",
