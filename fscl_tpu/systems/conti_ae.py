@@ -62,12 +62,14 @@ class ContiAESystem(System):
         self.upstream_params = self.upstream.init(rng, example_wav)
 
     def extract_layer(self, wavs, wav_lens, upstream_params=None):
+        from fscl_tpu.models.hubert import frozen_upstream_features
         if upstream_params is None:
             upstream_params = self.upstream_params
         valid = length_mask(wav_lens, wavs.shape[-1])
-        hidden, frame_valid = self.upstream.apply(
-            jax.lax.stop_gradient(upstream_params), wavs, valid)
-        return jax.lax.stop_gradient(hidden[:, :, self.layer_idx]), frame_valid
+        hidden, frame_valid = frozen_upstream_features(
+            self.upstream, upstream_params, wavs, valid,
+            self.model_cfg.upstream.compute_dtype)
+        return hidden[:, :, self.layer_idx], frame_valid
 
     def init_variables(self, rng, batch: ContiAEBatch) -> Dict[str, Any]:
         r1, r2, r3 = jax.random.split(rng, 3)

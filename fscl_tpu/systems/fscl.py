@@ -86,13 +86,14 @@ class TransEmbSystem(System):
         TrainState.frozen) inside jitted steps so the weights stay a
         runtime argument; the host-side fallback closes over
         self.upstream_params."""
+        from fscl_tpu.models.hubert import frozen_upstream_features
         if upstream_params is None:
             upstream_params = self.upstream_params
         assert upstream_params is not None, "init_upstream first"
         valid = length_mask(wav_lens, wavs.shape[-1])
-        hidden, frame_valid = self.upstream.apply(
-            jax.lax.stop_gradient(upstream_params), wavs, valid)
-        return jax.lax.stop_gradient(hidden), frame_valid
+        return frozen_upstream_features(
+            self.upstream, upstream_params, wavs, valid,
+            self.model_cfg.upstream.compute_dtype)
 
     # -- episode embedding table ----------------------------------------------
     def build_embedding_table(self, params, ssl_hidden, sup: SupInfo,

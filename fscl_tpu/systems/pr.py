@@ -68,13 +68,14 @@ class _SSLPRBase(System):
         self.upstream_params = self.upstream.init(rng, example_wav)
 
     def extract_ssl(self, wavs, wav_lens, upstream_params=None):
+        from fscl_tpu.models.hubert import frozen_upstream_features
         if upstream_params is None:
             upstream_params = self.upstream_params
         assert upstream_params is not None
         valid = length_mask(wav_lens, wavs.shape[-1])
-        hidden, frame_valid = self.upstream.apply(
-            jax.lax.stop_gradient(upstream_params), wavs, valid)
-        return jax.lax.stop_gradient(hidden), frame_valid
+        return frozen_upstream_features(
+            self.upstream, upstream_params, wavs, valid,
+            self.model_cfg.upstream.compute_dtype)
 
     def frame_labels(self, batch: PRBatch, n_frames: int):
         return gather_frame_labels(batch.phonemes, batch.avg_frames, n_frames)

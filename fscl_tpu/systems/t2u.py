@@ -140,13 +140,14 @@ class TransEmbT2USystem(System):
         self.upstream_params = self.upstream.init(rng, example_wav)
 
     def extract_ssl(self, wavs, wav_lens, upstream_params=None):
+        from fscl_tpu.models.hubert import frozen_upstream_features
         if upstream_params is None:
             upstream_params = self.upstream_params
         assert upstream_params is not None
         valid = length_mask(wav_lens, wavs.shape[-1])
-        hidden, frame_valid = self.upstream.apply(
-            jax.lax.stop_gradient(upstream_params), wavs, valid)
-        return jax.lax.stop_gradient(hidden), frame_valid
+        return frozen_upstream_features(
+            self.upstream, upstream_params, wavs, valid,
+            self.model_cfg.upstream.compute_dtype)
 
     def build_embedding_table(self, params, ssl_hidden, sup: SupInfo,
                               train: bool = False, rng=None):
