@@ -72,8 +72,14 @@ def main(argv=None):
     s = sub.add_parser("synth", help="synthesize from text")
     s.add_argument("--ckpt_dir", required=True)
     s.add_argument("--data_config", required=True)
-    s.add_argument("--text", required=True,
+    s.add_argument("--text", default=None,
                    help="text or {PHONEME ...} string")
+    s.add_argument("--text_file", default=None,
+                   help="file with one utterance per line; batch serving "
+                        "over bucketed synthesis. --output becomes a "
+                        "directory of NNNN.wav files")
+    s.add_argument("--batch_size", type=int, default=8,
+                   help="serving batch size for --text_file")
     s.add_argument("--speaker", type=int, default=0)
     s.add_argument("--model_config", default=None)
     s.add_argument("--ref_wav", default=None,

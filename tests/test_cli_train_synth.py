@@ -148,3 +148,19 @@ def test_cli_train_then_synth(cli_corpus, tmp_path):
                  "--text", "{HH AY1 W ER1 L D}", "--output", out_wav)
     assert r2.returncode == 0, r2.stderr[-2000:]
     assert os.path.isfile(out_wav) and os.path.getsize(out_wav) > 100
+
+    # batch serving: --text_file over bucketed synthesis, dir of NNNN.wav
+    tf = str(tmp_path / "lines.txt")
+    with open(tf, "w") as f:
+        f.write("{HH AY1}\n\n{W ER1 L D}\n{L D HH}\n")
+    out_dir = str(tmp_path / "batch_out")
+    r3 = run_cli("synth", "--ckpt_dir", os.path.join(exp, "ckpt"),
+                 "--data_config", str(cli_corpus / "data.yaml"),
+                 "--model_config", str(cli_corpus / "model.yaml"),
+                 "--text_file", tf, "--batch_size", "2",
+                 "--output", out_dir)
+    assert r3.returncode == 0, r3.stderr[-2000:]
+    wavs = sorted(os.listdir(out_dir))
+    assert wavs == ["0000.wav", "0001.wav", "0002.wav"]
+    assert all(os.path.getsize(os.path.join(out_dir, w)) > 100
+               for w in wavs)
