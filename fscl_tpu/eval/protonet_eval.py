@@ -37,6 +37,48 @@ def _pr_batch_from_samples(samples, symbol_id: str, n_symbols: int):
         n_symbols=n_symbols, symbol_id=symbol_id)
 
 
+def _batched_query_logits(system, params, protos, samples, symbol_id,
+                          n_symbols, batch_size):
+    """Transcribe query utterances through ONE cached jitted classify per
+    (batch, wav-bucket, text-bucket) shape instead of an eager batch-1
+    upstream forward per sample — at hubert-large scale the eager loop
+    dominates evaluation wall-clock. Samples are sorted by wav length so
+    chunks land in few buckets; short final chunks are padded by repeating
+    the first sample (padded rows discarded). Upstream params are passed
+    as runtime arguments (never baked into the program as constants)."""
+    import jax
+
+    if not samples:
+        return []
+    fn = system.__dict__.get("_eval_classify_jit")
+    if fn is None:
+        from fscl_tpu.systems.pr import PRBatch
+
+        def classify(p, pr, wavs, wav_lens, up):
+            qry = PRBatch(
+                wavs=wavs, wav_lens=wav_lens,
+                avg_frames=None, phonemes=None, lang_ids=None,
+                n_symbols=0, symbol_id=None)
+            return system.classify(p, pr, qry, upstream_params=up)
+
+        fn = system.__dict__["_eval_classify_jit"] = jax.jit(classify)
+
+    order = sorted(range(len(samples)), key=lambda i: len(samples[i]["wav"]))
+    out = [None] * len(samples)
+    for start in range(0, len(order), batch_size):
+        idx = order[start:start + batch_size]
+        group = [samples[i] for i in idx]
+        while len(group) < batch_size:       # pad chunk to a stable shape
+            group.append(group[0])
+        batch = _pr_batch_from_samples(group, symbol_id, n_symbols)
+        logits = np.asarray(fn(params, protos, batch.wavs, batch.wav_lens,
+                               system.upstream_params))
+        for k, i in enumerate(idx):
+            n_frames = int(np.sum(samples[i]["avg_frames"]))
+            out[i] = logits[k, :n_frames]
+    return out
+
+
 def run_protonet_eval(
     system,                      # SSLProtoNetSystem (init_upstream done)
     params,
@@ -82,14 +124,14 @@ def run_protonet_eval(
         protos = proto_sums / np.maximum(proto_counts, 1.0)[:, None]
         protos = jnp.asarray(protos)
 
-        def predict_logits(sample):
-            batch = _pr_batch_from_samples([sample], dc.symbol_id, n_symbols)
-            logits = system.classify(params, protos, batch)
-            n_frames = int(np.sum(sample["avg_frames"]))
-            return np.asarray(logits)[0, :n_frames]
+        qry_samples = [qry_ds[i] for i in range(len(qry_ds))]
+        all_logits = _batched_query_logits(
+            system, params, protos, qry_samples, dc.symbol_id, n_symbols,
+            batch_size)
+        by_id = {id(s): lg for s, lg in zip(qry_samples, all_logits)}
 
         infos = evaluate_pr_task(
-            predict_logits, [qry_ds[i] for i in range(len(qry_ds))],
+            lambda sample: by_id[id(sample)], qry_samples,
             id2symbol, use_dpdp=use_dpdp, lam=lam)
         out_paths.append(dump_task_results(
             infos, output_dir, os.path.basename(task_dir)))
