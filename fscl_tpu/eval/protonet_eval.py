@@ -79,6 +79,47 @@ def _batched_query_logits(system, params, protos, samples, symbol_id,
     return out
 
 
+def batched_pr_logits(system, params, samples, symbol_id, n_symbols,
+                      batch_size: int = 8):
+    """`_batched_query_logits` for the linear/baseline PR heads: frame
+    logits for every sample through one cached jitted `system.logits` per
+    (batch, wav-bucket, text-bucket) shape. Use with
+    `drivers.evaluate_pr_task` via an id()-keyed lookup (see
+    run_protonet_eval)."""
+    import jax
+
+    if not samples:
+        return []
+    cache = system.__dict__.setdefault("_eval_logits_jit", {})
+    fn = cache.get((symbol_id, n_symbols))
+    if fn is None:
+        from fscl_tpu.systems.pr import PRBatch
+
+        def logits_fn(p, wavs, wav_lens, up):
+            qry = PRBatch(
+                wavs=wavs, wav_lens=wav_lens,
+                avg_frames=None, phonemes=None, lang_ids=None,
+                n_symbols=n_symbols, symbol_id=symbol_id)
+            return system.logits(p, qry, upstream_params=up)
+
+        fn = cache[(symbol_id, n_symbols)] = jax.jit(logits_fn)
+
+    order = sorted(range(len(samples)), key=lambda i: len(samples[i]["wav"]))
+    out = [None] * len(samples)
+    for start in range(0, len(order), batch_size):
+        idx = order[start:start + batch_size]
+        group = [samples[i] for i in idx]
+        while len(group) < batch_size:
+            group.append(group[0])
+        batch = _pr_batch_from_samples(group, symbol_id, n_symbols)
+        logits = np.asarray(fn(params, batch.wavs, batch.wav_lens,
+                               system.upstream_params))
+        for k, i in enumerate(idx):
+            n_frames = int(np.sum(samples[i]["avg_frames"]))
+            out[i] = logits[k, :n_frames]
+    return out
+
+
 def run_protonet_eval(
     system,                      # SSLProtoNetSystem (init_upstream done)
     params,
