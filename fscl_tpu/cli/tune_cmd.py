@@ -74,11 +74,10 @@ def run(args):
         # round-trips; per-ft-step loss curve saved like the reference's
         # meta saver CSVs (lightning/callbacks/saver.py:23-321)
         from fscl_tpu.obs.loggers import AdaptationSaver
-        from fscl_tpu.systems.tune import adapt_on_chip
-        gen = dm.train_batches()
-        batches = [next(gen) for _ in range(args.adaptation_steps)]
-        new_params, losses = adapt_on_chip(
-            baseline, b_state.params, b_state.batch_stats, batches,
+        from fscl_tpu.systems.tune import adapt_on_chip_chunked
+        new_params, losses = adapt_on_chip_chunked(
+            baseline, b_state.params, b_state.batch_stats,
+            dm.train_batches(), args.adaptation_steps,
             lr=args.scan_lr, symbol_id=dc.symbol_id)
         b_state = b_state.replace(params=new_params)
         saver = AdaptationSaver(os.path.join(args.exp_dir, "csv"))

@@ -146,6 +146,40 @@ def _make_task_loss_fn(baseline: BaselineSystem, batch_stats,
     return loss_fn
 
 
+def adapt_on_chip_chunked(
+    baseline: BaselineSystem,
+    params: Dict[str, Any],
+    batch_stats,
+    batch_iter,
+    n_steps: int,
+    chunk: int = 500,
+    lr: float = 1e-3,
+    symbol_id: Optional[str] = None,
+):
+    """`adapt_on_chip` for long budgets (the reference adapts up to 20k
+    steps, config/algorithm/language/fscl.yaml): stacking 20k batches on
+    the device at once is several GB, so the budget runs as ceil(n/chunk)
+    scans of `chunk` steps each. Every chunk reuses the SAME cached jitted
+    scan (identical shapes — one compile total), and params stay on device
+    between chunks. Returns (adapted params, all per-step losses)."""
+    import numpy as np
+
+    fn = _get_adapt_fn(baseline, symbol_id, many=False)
+    lr_arr = jnp.float32(lr)
+    losses_out = []
+    done = 0
+    while done < n_steps:
+        n = min(chunk, n_steps - done)
+        batches = [next(batch_iter) for _ in range(n)]
+        stacked = stack_batches(batches)
+        # full chunks share ONE compiled scan; a ragged tail (n_steps %
+        # chunk) compiles once more — negligible against the budget
+        params, losses = fn(params, batch_stats, stacked, lr_arr)
+        losses_out.append(np.asarray(losses))
+        done += n
+    return params, np.concatenate(losses_out)
+
+
 def stack_tasks(task_batches: List[List[Batch]]) -> Batch:
     """Stack a list of per-task batch sequences into one pytree with leading
     axes (n_tasks, n_steps, ...). All tasks must share static shapes

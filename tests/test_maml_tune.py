@@ -203,3 +203,55 @@ def test_adapt_many_sharded_matches_unsharded():
     with pytest.raises(ValueError):
         adapt_many_sharded(
             baseline, state.params, state.batch_stats, tasks[:3], mesh)
+
+
+def test_adapt_chunked_matches_single_scan():
+    """Chunked long-budget adaptation == one scan over the same batches
+    (SGD is sequential, so chunking must be exact)."""
+    import jax
+    import numpy as np
+
+    from fscl_tpu.core.config import (
+        ModelConfig, OptimConfig, SpeakerConfig, TransformerConfig,
+    )
+    from fscl_tpu.data.batch import Batch
+    from fscl_tpu.systems.baseline import BaselineSystem
+    from fscl_tpu.systems.tune import adapt_on_chip, adapt_on_chip_chunked
+
+    cfg = ModelConfig(
+        transformer=TransformerConfig(
+            encoder_layer=1, decoder_layer=1, encoder_hidden=32,
+            decoder_hidden=32, conv_filter_size=32),
+        speaker=SpeakerConfig(n_speakers=4), max_seq_len=64)
+    system = BaselineSystem(cfg, OptimConfig(), (("en", 40),))
+    rng = np.random.default_rng(0)
+    B, L, T = 2, 8, 32
+    dur = rng.integers(1, 4, (B, L)).astype(np.int32)
+
+    def mk(seed):
+        r = np.random.default_rng(seed)
+        return Batch(
+            speaker_args=np.zeros(B, np.int32),
+            texts=r.integers(1, 40, (B, L)).astype(np.int32),
+            src_lens=np.full((B,), L, np.int32),
+            mels=r.normal(size=(B, T, 80)).astype(np.float32),
+            mel_lens=np.minimum(dur.sum(1), T).astype(np.int32),
+            pitches=r.normal(size=(B, L)).astype(np.float32),
+            energies=r.normal(size=(B, L)).astype(np.float32),
+            durations=dur, lang_ids=np.zeros(B, np.int32))
+
+    state = system.init_state(jax.random.PRNGKey(0), mk(0))
+    batches = [mk(i) for i in range(10)]
+
+    p_one, l_one = adapt_on_chip(
+        system, state.params, state.batch_stats, batches, lr=1e-4)
+    p_chk, l_chk = adapt_on_chip_chunked(
+        system, state.params, state.batch_stats, iter(batches), 10,
+        chunk=4, lr=1e-4)
+
+    np.testing.assert_allclose(np.asarray(l_chk), np.asarray(l_one),
+                               rtol=1e-5, atol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(p_one),
+                    jax.tree_util.tree_leaves(p_chk)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
