@@ -71,9 +71,13 @@ bool parse_header(FILE* f, NpyInfo* info) {
   info->shape[0] = info->shape[1] = 1;
   const char* s = shape.c_str();
   char* end = nullptr;
-  while (*s && info->ndim < 2) {
+  while (*s) {
     long v = strtol(s, &end, 10);
     if (end == s) break;
+    // reject corrupt headers: negative/absurd dims would flow into vector
+    // resizes and fread size math; >2-D arrays are unsupported (a silent
+    // first-two-dims read would misinterpret the payload)
+    if (v < 0 || v > (1L << 31) || info->ndim >= 2) return false;
     info->shape[info->ndim++] = v;
     s = end;
     while (*s == ',' || *s == ' ') ++s;
@@ -94,6 +98,9 @@ bool parse_header(FILE* f, NpyInfo* info) {
 // converting from the stored dtype. n = number of elements to read.
 bool read_as_double(FILE* f, const NpyInfo& info, int64_t n,
                     std::vector<double>* dst) {
+  // cap the element count (2 GB of doubles) so a corrupt-but-parsable
+  // header cannot drive a runaway allocation; real features are ~100k max
+  if (n < 0 || n > ((int64_t)1 << 28)) return false;
   dst->resize(n);
   std::vector<unsigned char> raw(n * info.itemsize);
   if (fread(raw.data(), info.itemsize, n, f) != (size_t)n) return false;

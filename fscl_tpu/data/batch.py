@@ -108,11 +108,18 @@ def collate_batch(
     mel_buckets: Sequence[int] = MEL_BUCKETS,
     bucket: bool = True,
     dvec_slices: Optional[int] = None,
+    pitch_feature: Optional[str] = None,
+    energy_feature: Optional[str] = None,
 ) -> Tuple[BatchMeta, Batch]:
     """Samples are dicts with keys: id, text (str), phonemes (int array),
     mel (T, n_mels), pitch, energy, duration, speaker (int), lang_id (int).
     `dvec_slices`: when set and samples carry spk_ref_mel_slices, emit
     DvecRefs (padded to that static slice count) as speaker_args.
+    `pitch_feature`/`energy_feature`: the variance-config level
+    ("phoneme_level" | "frame_level", VarianceConfig) — when given, the
+    pitch/energy targets pad to the text or mel bucket accordingly; when
+    None the level is inferred from per-sample lengths (ambiguous only in
+    the degenerate all-durations==1 batch).
     Equivalent of reprocess() (collates/utils.py:8-112), static-shaped.
     """
     src_lens = np.array([len(s["phonemes"]) for s in samples], dtype=np.int32)
@@ -135,7 +142,9 @@ def collate_batch(
     # frame-level pitch/energy targets (variance config "frame_level") have
     # mel-frame length, not phoneme length — pad those to the MEL bucket so
     # the variance adaptor sees (B, T) targets (nn/variance_adaptor.py:167).
-    def _var_len(key: str) -> int:
+    def _var_len(key: str, feature: Optional[str]) -> int:
+        if feature is not None:
+            return T if (has_mel and feature == "frame_level") else L
         if has_mel and any(
                 len(s[key]) != len(s["phonemes"]) for s in samples):
             return T
@@ -148,11 +157,11 @@ def collate_batch(
         mels=(pad_2d([s["mel"] for s in samples], T) if has_mel
               else np.zeros((len(samples), T, 80), np.float32)),
         mel_lens=np.minimum(mel_lens, T),
-        pitches=pad_1d([s["pitch"] for s in samples], _var_len("pitch"),
-                       dtype=np.float32)
+        pitches=pad_1d([s["pitch"] for s in samples],
+                       _var_len("pitch", pitch_feature), dtype=np.float32)
         if has_mel else np.zeros((len(samples), L), np.float32),
-        energies=pad_1d([s["energy"] for s in samples], _var_len("energy"),
-                        dtype=np.float32)
+        energies=pad_1d([s["energy"] for s in samples],
+                        _var_len("energy", energy_feature), dtype=np.float32)
         if has_mel else np.zeros((len(samples), L), np.float32),
         durations=pad_1d([s["duration"] for s in samples], L, dtype=np.int32)
         if has_mel else np.zeros((len(samples), L), np.int32),

@@ -61,6 +61,15 @@ class BaseDataModule:
         self.id2symbols = build_id2symbols(self.data_configs)
         self.offsets = symbol_offsets(self.id2symbols)
 
+    @property
+    def _var_kw(self) -> dict:
+        """Variance feature levels for collate_batch: pad pitch/energy to
+        the text or mel bucket per the model config, never by per-batch
+        length inference (ADVICE r2)."""
+        v = self.model_cfg.variance
+        return {"pitch_feature": v.pitch_feature,
+                "energy_feature": v.energy_feature}
+
     def _datasets(self, split: str, cls, re_id: bool = False, **kw):
         out = []
         spk_offset = 0
@@ -145,7 +154,7 @@ class FastSpeech2DataModule(BaseDataModule):
                 else:
                     _, batch = collate_batch(
                         [self.train_set[int(i)] for i in idxs],
-                        dvec_slices=self.dvec_slices)
+                        dvec_slices=self.dvec_slices, **self._var_kw)
                 yield batch
             epoch += 1
 
@@ -159,7 +168,8 @@ class FastSpeech2DataModule(BaseDataModule):
                        for i in range(start, min(start + bs, len(self.val_set)))]
             if samples:
                 out.append(collate_batch(
-                    samples, dvec_slices=self.dvec_slices)[1])
+                    samples, dvec_slices=self.dvec_slices,
+                    **self._var_kw)[1])
         return out
 
 
@@ -209,7 +219,8 @@ class FSCLDataModule(BaseDataModule):
             samples = [self.train_set[i] for i in idxs]
             yield collate_episode(samples, self.shots, self.queries,
                                   with_sup_batch=self.with_sup_batch,
-                                  with_qry_wavs=self.with_qry_wavs)
+                                  with_qry_wavs=self.with_qry_wavs,
+                                  var_kw=self._var_kw)
 
     def val_batches(self):
         if self.val_set is None:
@@ -222,7 +233,8 @@ class FSCLDataModule(BaseDataModule):
             samples = [self.val_set[i] for i in idxs]
             out.append(collate_episode(samples, self.shots, self.queries,
                                        with_sup_batch=self.with_sup_batch,
-                                       with_qry_wavs=self.with_qry_wavs))
+                                       with_qry_wavs=self.with_qry_wavs,
+                                       var_kw=self._var_kw))
         return out
 
 
@@ -268,8 +280,7 @@ class T2UDataModule(BaseDataModule):
 
 @DATAMODULES.register("pr-ssl-linear", "pr-ssl-linear-tune",
                       "pr-ssl-baseline", "pr-ssl-baseline-tune",
-                      "pr-ssl-cluster", "pr-ssl-cluster-tune",
-                      "pr-trans-head", "pr-trans-head-tune")
+                      "pr-ssl-cluster", "pr-ssl-cluster-tune")
 class PRDataModule(BaseDataModule):
     """SSL PR loader with same-dataset batches (MultiTaskSampler semantics:
     every batch comes from ONE dataset so the per-language head is
@@ -310,7 +321,8 @@ class PRDataModule(BaseDataModule):
             )
 
 
-@DATAMODULES.register("pr-ssl-protonet", "pr-fscl", "pr-fscl-tune")
+@DATAMODULES.register("pr-ssl-protonet", "pr-fscl", "pr-fscl-tune",
+                      "pr-trans-head", "pr-trans-head-tune")
 class PREpisodicDataModule(BaseDataModule):
     """Episodic PR loader for protonet/PR-FSCL (phoneme_recognition
     FSCLDataModule): label-grouped K+Q episodes of PR samples with the

@@ -160,19 +160,23 @@ def collate_sup_info(samples: List[dict], bucket: bool = True) -> SupInfo:
 
 def collate_episode(samples: List[dict], shots: int, queries: int,
                     bucket: bool = True, with_sup_batch: bool = False,
-                    with_qry_wavs: bool = False):
+                    with_qry_wavs: bool = False,
+                    var_kw: Optional[dict] = None):
     """Episode collate (FSCLCollate._collate_fn): coverage split, then
     (sup_info, qry TTS batch[, sup TTS batch for MAML inner loops]).
     `with_qry_wavs` additionally attaches the query set's raw speech
     (FSCLCollate query_info=True path, for the SSL-ADA systems) and returns
-    an SSLEpisode."""
+    an SSLEpisode. `var_kw` forwards the variance feature levels
+    (pitch_feature/energy_feature) to collate_batch."""
+    var_kw = var_kw or {}
     sup_ids, qry_ids = split_sup_qry(samples, shots, queries)
     sup = collate_sup_info([samples[i] for i in sup_ids], bucket)
-    _, qry = collate_batch([samples[i] for i in qry_ids], bucket=bucket)
+    _, qry = collate_batch([samples[i] for i in qry_ids], bucket=bucket,
+                           **var_kw)
     sup_batch = None
     if with_sup_batch:
         _, sup_batch = collate_batch([samples[i] for i in sup_ids],
-                                     bucket=bucket)
+                                     bucket=bucket, **var_kw)
     if with_qry_wavs:
         from fscl_tpu.systems.ada import SSLEpisode
         qry_samples = [samples[i] for i in qry_ids]

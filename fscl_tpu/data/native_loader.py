@@ -18,6 +18,7 @@ fast path behind the same `(BatchMeta, Batch)` contract.
 """
 from __future__ import annotations
 
+from collections import OrderedDict
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -60,7 +61,10 @@ class NativeCollate:
         self.speakers = store.load_speakers()
         self.speaker_map = {s: i for i, s in enumerate(self.speakers)}
         self.symbol_id = config.symbol_id
-        self._text_cache: Dict[str, np.ndarray] = {}
+        # LRU-bounded: infinite-epoch streams over large corpora must not
+        # grow the cache without bound
+        self._text_cache: "OrderedDict[str, np.ndarray]" = OrderedDict()
+        self._text_cache_max = 65536
 
     # -- per-query helpers ---------------------------------------------------
     def _texts(self, queries: List[dict]) -> List[np.ndarray]:
@@ -76,6 +80,10 @@ class NativeCollate:
                 if self.id_offset:
                     seq = seq + self.id_offset
                 self._text_cache[key] = seq
+                if len(self._text_cache) > self._text_cache_max:
+                    self._text_cache.popitem(last=False)
+            else:
+                self._text_cache.move_to_end(key)
             out.append(seq)
         return out
 
@@ -104,6 +112,15 @@ class NativeCollate:
         # durations first: their row sums give the mel truncation lengths
         dur, dlens = cpp_npy_pad_1d_i32(
             self._feature_paths(store.mfa_duration, queries), L)
+        # same integrity contract as FastSpeech2Dataset._core: a
+        # phoneme/duration count mismatch must raise, not silently pad
+        expect = np.minimum(src_lens, L)
+        if not np.array_equal(expect, dlens):
+            bad = [queries[i]["basename"]
+                   for i in np.nonzero(expect != dlens)[0]]
+            raise ValueError(
+                f"text/duration length mismatch for {bad} "
+                f"(text {expect.tolist()} vs duration {dlens.tolist()})")
         totals = dur.sum(axis=1).astype(np.int32)
         T = int(totals.max()) if totals.max() > 0 else 1
         if bucket:
@@ -141,6 +158,15 @@ class NativeCollate:
                 self._feature_paths(store.energy, queries), T,
                 e_shift, e_scale)
             energy *= (np.arange(T)[None, :] < mel_lens[:, None])
+
+        # NaN gate matching the Python path's dataset asserts
+        for name, arr in (("mel", mels), ("pitch", pitch),
+                          ("energy", energy)):
+            if np.isnan(arr).any():
+                bad = [queries[i]["basename"]
+                       for i in np.nonzero(
+                           np.isnan(arr.reshape(len(queries), -1)).any(1))[0]]
+                raise ValueError(f"NaN {name} feature for {bad}")
 
         speaker_args = np.array(
             [self.speaker_map[q["spk"]] + self.speaker_offset

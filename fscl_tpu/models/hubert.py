@@ -227,6 +227,27 @@ def unstack_layer_params(params: dict) -> dict:
     return p
 
 
+def adapt_layer_layout(upstream: "SSLUpstream", variables: dict) -> dict:
+    """Match a param pytree's transformer-layer layout to the module's
+    `scan_layers` setting. Converted torch checkpoints
+    (convert_torch_checkpoint) arrive in per-layer {layer_0..} form, but a
+    scan model expects one stacked {layers} collection — applying the wrong
+    layout fails at apply time (ADVICE r2). Handles both directions and
+    accepts either a bare param dict or a {"params": ...} variables dict."""
+    wrapped = "params" in variables and isinstance(
+        variables.get("params"), dict)
+    params = variables["params"] if wrapped else variables
+    has_per_layer = any(k.startswith("layer_") for k in params)
+    has_stacked = "layers" in params
+    if upstream.scan_layers and has_per_layer and not has_stacked:
+        params = stack_layer_params(params, upstream.n_layers)
+    elif not upstream.scan_layers and has_stacked and not has_per_layer:
+        params = unstack_layer_params(params)
+    else:
+        return variables
+    return {"params": params} if wrapped else params
+
+
 def make_upstream(name: str = "hubert_large_ll60k", cfg=None) -> SSLUpstream:
     """`cfg` (core.config.UpstreamConfig) overrides dims for custom/tiny
     upstreams (smoke runs, unit tests); known names keep released shapes."""

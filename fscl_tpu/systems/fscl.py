@@ -78,7 +78,10 @@ class TransEmbSystem(System):
         self.upstream_params = self.upstream.init(rng, example_wav)
 
     def load_upstream(self, variables) -> None:
-        self.upstream_params = variables
+        """Install (possibly converted) frozen upstream weights, auto-
+        matching the layer layout to scan_layers (hubert.adapt_layer_layout)."""
+        from fscl_tpu.models.hubert import adapt_layer_layout
+        self.upstream_params = adapt_layer_layout(self.upstream, variables)
 
     def extract_ssl(self, wavs, wav_lens, upstream_params=None):
         """Frozen SSL forward; gradients stopped (reference: torch.no_grad

@@ -247,15 +247,32 @@ def adapt_many_sharded(
         lambda x: jax.device_put(x, task_sharded), stack_tasks(task_batches))
     params = jax.tree_util.tree_map(
         lambda x: jax.device_put(x, repl), params)
-    loss_fn = _make_task_loss_fn(baseline, batch_stats, symbol_id)
+    fn = _get_sharded_adapt_fn(baseline, symbol_id, mesh)
+    return fn(params, batch_stats, stacked, jnp.float32(lr))
 
-    def local(p, b):   # runs per device on its local task shard
-        return jax.vmap(
-            lambda bt: fast_adaptation_scan(loss_fn, p, bt, lr))(b)
 
-    fn = jax.jit(jax.shard_map(
-        local, mesh=mesh,
-        in_specs=(P(), P(DATA_AXIS)),
-        out_specs=P(DATA_AXIS),
-        check_vma=False))
-    return fn(params, stacked)
+def _get_sharded_adapt_fn(baseline: BaselineSystem,
+                          symbol_id: Optional[str], mesh):
+    """Compiled shard_map adaptation, cached per (symbol_id, mesh) like
+    `_get_adapt_fn`: repeated task-group evaluation re-traces nothing, and
+    batch_stats/lr are traced arguments (changing them never recompiles)."""
+    from jax.sharding import PartitionSpec as P
+
+    from fscl_tpu.parallel.mesh import DATA_AXIS
+
+    cache = baseline.__dict__.setdefault("_adapt_shard_cache", {})
+    key = (symbol_id, mesh)
+    fn = cache.get(key)
+    if fn is None:
+        def local(p, bs, b, lr):   # runs per device on its local task shard
+            loss_fn = _make_task_loss_fn(baseline, bs, symbol_id)
+            return jax.vmap(
+                lambda bt: fast_adaptation_scan(loss_fn, p, bt, lr))(b)
+
+        fn = jax.jit(jax.shard_map(
+            local, mesh=mesh,
+            in_specs=(P(), P(), P(DATA_AXIS), P()),
+            out_specs=P(DATA_AXIS),
+            check_vma=False))
+        cache[key] = fn
+    return fn

@@ -96,3 +96,37 @@ def test_scan_layers_matches_unrolled():
     h2, _ = unrolled.apply({"params": back}, wav, valid)
     np.testing.assert_allclose(np.asarray(h2), np.asarray(h_ref),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_adapt_layer_layout_auto_stacks():
+    """load_upstream on a scan_layers system auto-stacks a converted
+    per-layer checkpoint (and the reverse direction unstacks)."""
+    import jax
+    import numpy as np
+
+    from fscl_tpu.models.hubert import SSLUpstream, adapt_layer_layout
+
+    kw = dict(dim=32, n_layers=3, n_heads=2, ffn_dim=64)
+    unrolled = SSLUpstream(**kw)
+    scanned = SSLUpstream(**kw, scan_layers=True)
+    rng = np.random.default_rng(1)
+    wav = rng.normal(size=(1, 4000)).astype(np.float32)
+    valid = np.ones_like(wav, bool)
+    per_layer = unrolled.init(jax.random.PRNGKey(0), wav, valid)
+    h_ref, _ = unrolled.apply(per_layer, wav, valid)
+
+    auto = adapt_layer_layout(scanned, per_layer)
+    assert "layers" in auto["params"] and "layer_0" not in auto["params"]
+    h_scan, _ = scanned.apply(auto, wav, valid)
+    np.testing.assert_allclose(np.asarray(h_scan), np.asarray(h_ref),
+                               rtol=2e-5, atol=2e-5)
+
+    # reverse: scan checkpoint into an unrolled model
+    back = adapt_layer_layout(unrolled, auto)
+    assert "layer_0" in back["params"] and "layers" not in back["params"]
+    h2, _ = unrolled.apply(back, wav, valid)
+    np.testing.assert_allclose(np.asarray(h2), np.asarray(h_ref),
+                               rtol=2e-5, atol=2e-5)
+    # already-matching layouts pass through unchanged
+    assert adapt_layer_layout(unrolled, per_layer) is per_layer
+    assert adapt_layer_layout(scanned, auto) is auto
