@@ -19,6 +19,7 @@ from __future__ import annotations
 from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import flax
+import flax.linen as nn
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -28,7 +29,8 @@ from fscl_tpu.core.registry import SYSTEMS
 from fscl_tpu.data.batch import SupInfo
 from fscl_tpu.models.hubert import SSLUpstream, make_upstream
 from fscl_tpu.nn.downstreams import (
-    Downstream1, LinearDownstream, MultilingualClusterHead, MultilingualPRHead,
+    BiLSTMDownstream, Downstream1, LinearDownstream, MultilingualClusterHead,
+    MultilingualPRHead,
 )
 from fscl_tpu.nn.losses import framewise_accuracy, framewise_ce_loss
 from fscl_tpu.ops.length_regulator import gather_frame_labels
@@ -121,9 +123,7 @@ class SSLLinearSystem(_SSLPRBase):
         return loss, ({"Total Loss": loss, "Acc": acc}, None)
 
 
-@SYSTEMS.register("pr-ssl-baseline", "pr-ssl-baseline-tune",
-                  "pr-trans-head", "pr-trans-head-tune",
-                  "pr-fscl", "pr-fscl-tune")
+@SYSTEMS.register("pr-ssl-baseline", "pr-ssl-baseline-tune")
 class SSLBaselineSystem(_SSLPRBase):
     def __init__(self, *args, **kwargs):
         super().__init__(*args, **kwargs)
@@ -174,6 +174,100 @@ class SSLClusterSystem(SSLBaselineSystem):
         self.head = MultilingualClusterHead(
             self.id2symbols, self.model_cfg.transformer.encoder_hidden,
             mode=cluster_mode)
+
+
+class TransHeadGenerator(nn.Module):
+    """Head-weight generator (TransHead.py:26-31): learned weighted sum
+    over the SSL layer axis of the phoneme queries, then single-head soft
+    codebook attention (att_banks -> emb_banks) producing one classifier
+    row per symbol."""
+    n_in_layers: int
+    codebook_size: int
+    dim: int
+    upstream_dim: int
+    specific_layer: Optional[int] = None
+
+    @nn.compact
+    def __call__(self, queries, need_weights: bool = False):
+        from fscl_tpu.nn.downstreams import WeightedSumLayer
+        from fscl_tpu.nn.phoneme_embedding import SoftAttCodebook
+        # queries: (1, n_symbols, n_layers, upstream_dim)
+        x = WeightedSumLayer(self.n_in_layers, self.specific_layer,
+                             name="weighted_sum")(queries, axis=2)
+        table, attn = SoftAttCodebook(
+            self.codebook_size, self.dim, self.upstream_dim,
+            name="codebook")(x[0], need_weights)
+        return table, attn
+
+
+@SYSTEMS.register("pr-trans-head", "pr-trans-head-tune",
+                  "pr-fscl", "pr-fscl-tune")
+class TransHeadPRSystem(_SSLPRBase):
+    """TransHead (TransHead.py:23-165): episodic PR whose classification
+    head is GENERATED per episode — raw SSL phoneme queries from the
+    support set (single-stage average, PhonemeQueryExtractor(mode=
+    "average")) through codebook attention give the head weight matrix;
+    query frames run through a BiLSTM downstream and are classified by
+    x @ head_weights^T + bias (F.linear, TransHead.py:90-92)."""
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        d = self.model_cfg.transformer.encoder_hidden
+        up = self.model_cfg.upstream
+        self.downstream = BiLSTMDownstream(
+            n_in_layers=up.n_layers, d_out=d,
+            specific_layer=up.layer_idx)
+        self.head_generator = TransHeadGenerator(
+            n_in_layers=up.n_layers,
+            codebook_size=self.model_cfg.codebook.size,
+            dim=d, upstream_dim=up.dim,
+            specific_layer=up.layer_idx)
+
+    def init_variables(self, rng, episode: PREpisode) -> Dict[str, Any]:
+        r1, r2, r3 = jax.random.split(rng, 3)
+        if self.upstream_params is None:
+            self.init_upstream(r1, jnp.asarray(episode.sup.wavs))
+        hidden, frame_valid = self.extract_ssl(
+            jnp.asarray(episode.sup.wavs), jnp.asarray(episode.sup.wav_lens))
+        ds_vars = self.downstream.init(r2, hidden, frame_valid)
+        queries = frame_phoneme_query_extract(
+            hidden, jnp.asarray(episode.sup.avg_frames),
+            jnp.asarray(episode.sup.phonemes), episode.sup.n_symbols)
+        gen_vars = self.head_generator.init(r3, queries)
+        return {"params": {"downstream": ds_vars["params"],
+                           "head_generator": gen_vars["params"],
+                           "trans_head_bias": jnp.zeros((1,))},
+                "frozen": {"upstream": self.upstream_params}}
+
+    def build_head_weights(self, params, sup: PRBatch, upstream_params=None,
+                           need_weights: bool = False):
+        """(TransHead.build_head_weights, TransHead.py:53-64): raw SSL
+        reprs (no downstream) -> single-stage phoneme queries -> codebook."""
+        hidden, _ = self.extract_ssl(sup.wavs, sup.wav_lens, upstream_params)
+        queries = frame_phoneme_query_extract(
+            hidden, sup.avg_frames, sup.phonemes, sup.n_symbols)
+        return self.head_generator.apply(
+            {"params": params["head_generator"]}, queries, need_weights)
+
+    def logits(self, params, episode: PREpisode, upstream_params=None):
+        head_weights, _ = self.build_head_weights(
+            params, episode.sup, upstream_params)
+        hidden, frame_valid = self.extract_ssl(
+            episode.qry.wavs, episode.qry.wav_lens, upstream_params)
+        x = self.downstream.apply(
+            {"params": params["downstream"]}, hidden, frame_valid)
+        return (jnp.einsum("btd,sd->bts", x, head_weights,
+                           preferred_element_type=jnp.float32)
+                + params["trans_head_bias"][0])
+
+    def loss_and_metrics(self, params, batch_stats, episode: PREpisode,
+                         rng, train, frozen=None):
+        logits = self.logits(params, episode,
+                             frozen.get("upstream") if frozen else None)
+        labels = self.frame_labels(episode.qry, logits.shape[1])
+        loss = framewise_ce_loss(logits, labels)
+        acc = framewise_accuracy(logits, labels)
+        return loss, ({"Total Loss": loss, "Acc": acc}, None)
 
 
 @SYSTEMS.register("pr-ssl-protonet")

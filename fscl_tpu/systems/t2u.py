@@ -149,20 +149,31 @@ class TransEmbT2USystem(System):
             self.upstream, upstream_params, wavs, valid,
             self.model_cfg.upstream.compute_dtype)
 
+    def frame_features(self, params, ssl_hidden, frame_valid):
+        """Frame-level features the phoneme queries are averaged from —
+        the variant axis across TransEmb/C/C2 (t2u/TransEmb.py vs
+        TransEmbC.py vs TransEmbC2.py). Base: Downstream1."""
+        return self.embedding_generator.apply(
+            {"params": params["embedding_generator"]}, ssl_hidden,
+            frame_valid, True)
+
+    def post_table(self, params, table_pre):
+        """Transform applied AFTER phoneme-query extraction (codebook
+        attention for the C2 variant; identity here)."""
+        return table_pre
+
     def build_embedding_table(self, params, ssl_hidden, sup: SupInfo,
                               train: bool = False, rng=None):
-        """(t2u/TransEmb.py:54-73): Downstream1 over frames, then two-stage
-        phoneme query extraction."""
+        """(t2u/TransEmb.py:54-73): frame features, two-stage phoneme query
+        extraction, then the variant's post-extraction transform."""
         Tp = ssl_hidden.shape[1]
         frame_lens = jnp.sum(sup.avg_frames, axis=-1)
         frame_valid = length_mask(jnp.minimum(frame_lens, Tp), Tp)
-        x = self.embedding_generator.apply(
-            {"params": params["embedding_generator"]}, ssl_hidden,
-            frame_valid, True)
+        x = self.frame_features(params, ssl_hidden, frame_valid)
         x = x[:, :, None, :]   # (B, T, 1, d) for segment extraction
-        table = phoneme_query_extract(
+        table_pre = phoneme_query_extract(
             x, sup.avg_frames, sup.phonemes, sup.n_symbols)[0, :, 0]
-        return table            # (n_symbols, d)
+        return self.post_table(params, table_pre)    # (n_symbols, d)
 
     def init_variables(self, rng, episode: T2UEpisode) -> Dict[str, Any]:
         r1, r2, r3, r4 = jax.random.split(rng, 4)
@@ -239,17 +250,11 @@ class TransEmbCT2USystem(TransEmbT2USystem):
             specific_layer=model_cfg.upstream.layer_idx,
         )
 
-    def build_embedding_table(self, params, ssl_hidden, sup: SupInfo,
-                              train: bool = False, rng=None):
-        Tp = ssl_hidden.shape[1]
-        frame_lens = jnp.sum(sup.avg_frames, axis=-1)
-        frame_valid = length_mask(jnp.minimum(frame_lens, Tp), Tp)
+    def frame_features(self, params, ssl_hidden, frame_valid):
         x, _ = self.embedding_generator.apply(
             {"params": params["embedding_generator"]}, ssl_hidden,
             frame_valid, True)
-        x = x[:, :, None, :]
-        return phoneme_query_extract(
-            x, sup.avg_frames, sup.phonemes, sup.n_symbols)[0, :, 0]
+        return x
 
 
 @SYSTEMS.register("fscl-t2u-c2", "fscl-t2u-codebook2")
@@ -276,10 +281,7 @@ class TransEmbC2T2USystem(TransEmbT2USystem):
         variables["params"]["codebook_attention"] = cb_vars["params"]
         return variables
 
-    def build_embedding_table(self, params, ssl_hidden, sup: SupInfo,
-                              train: bool = False, rng=None):
-        table_pre = super().build_embedding_table(
-            params, ssl_hidden, sup, train, rng)       # (n_symbols, d)
+    def post_table(self, params, table_pre):
         table, _ = self.codebook_attention.apply(
             {"params": params["codebook_attention"]}, table_pre[None])
         return table[0]

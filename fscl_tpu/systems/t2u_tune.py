@@ -40,8 +40,13 @@ def t2u_build_reference_table(
     params: Dict[str, Any],
     sup_batches: Iterable[SupInfo],
 ) -> jnp.ndarray:
-    """Stream the few-shot split through Downstream1 + phoneme query
-    extraction, accumulating per-symbol sums (TransEmbTune tune_init)."""
+    """Stream the few-shot split through the meta-system's frame-feature
+    generator + phoneme query extraction, accumulating per-symbol sums,
+    then apply its post-extraction transform (TransEmbTune tune_init;
+    TransEmbC/TransEmbC2 route through Downstream2 / codebook attention —
+    t2u/TransEmbC.py:1-265, TransEmbTune.py:298-360 — via the system's
+    `frame_features`/`post_table` dispatch, so passing a C or C2 meta
+    system builds the codebook-path table, not the Downstream1 mean)."""
     total_sums = total_counts = None
     n_symbols = fscl_t2u.n_symbols
 
@@ -51,9 +56,7 @@ def t2u_build_reference_table(
         Tp = hidden.shape[1]
         frame_valid = length_mask(
             jnp.minimum(jnp.sum(avg_frames, -1), Tp), Tp)
-        x = fscl_t2u.embedding_generator.apply(
-            {"params": params["embedding_generator"]}, hidden, frame_valid,
-            True)
+        x = fscl_t2u.frame_features(params, hidden, frame_valid)
         return phoneme_query_sums(
             x[:, :, None, :], avg_frames, phonemes, n_symbols)
 
@@ -63,7 +66,8 @@ def t2u_build_reference_table(
             jnp.asarray(sup.avg_frames), jnp.asarray(sup.phonemes))
         total_sums = sums if total_sums is None else total_sums + sums
         total_counts = counts if total_counts is None else total_counts + counts
-    return queries_from_sums(total_sums, total_counts)[0, :, 0]
+    table_pre = queries_from_sums(total_sums, total_counts)[0, :, 0]
+    return fscl_t2u.post_table(params, table_pre)
 
 
 def t2u_tune_init(
@@ -105,21 +109,43 @@ class E2ETuneSystem(TacoT2USystem):
 
     def __init__(self, model_cfg: ModelConfig, optim_cfg: OptimConfig,
                  id2symbols: Tuple[Tuple[str, int], ...], t2u_cfg: T2UConfig,
-                 u2s_system, u2s_params, u2s_batch_stats=None):
+                 u2s_system, u2s_params, u2s_batch_stats=None,
+                 u2s_symbol_id: Optional[str] = None):
         super().__init__(model_cfg, optim_cfg, id2symbols, t2u_cfg)
         self.u2s_system = u2s_system
         self.u2s_params = jax.tree_util.tree_map(
             jax.lax.stop_gradient, u2s_params)
         self.u2s_batch_stats = u2s_batch_stats
+        self.u2s_symbol_id = u2s_symbol_id
 
     def init_variables(self, rng, batch: E2EBatch) -> Dict[str, Any]:
         return super().init_variables(rng, batch.t2u)
+
+    def _u2s_unit_table(self) -> jnp.ndarray:
+        """The frozen u2s unit-embedding table. A multilingual u2s checkpoint
+        carries one table per symbol set; select explicitly by
+        `u2s_symbol_id` (the unit symbol set the chain decodes into) rather
+        than grabbing an arbitrary entry."""
+        tables = self.u2s_params["embedding"]
+        if self.u2s_symbol_id is not None:
+            key = f"table-{self.u2s_symbol_id}"
+            if key not in tables:
+                raise KeyError(
+                    f"u2s checkpoint has no embedding table {key!r}; "
+                    f"available: {sorted(tables)}")
+            return tables[key]
+        if len(tables) != 1:
+            raise ValueError(
+                "u2s checkpoint is multilingual "
+                f"({sorted(tables)}); pass u2s_symbol_id to select the "
+                "unit table")
+        return next(iter(tables.values()))
 
     def u2s_forward(self, t2u_logits, u2s_batch: Batch):
         """(TransEmbE2ETune.common_u2s_step, TransEmbE2ETune.py:169-182):
         soft unit distribution times the frozen u2s unit-embedding table."""
         probs = jax.nn.softmax(t2u_logits, axis=-1)
-        table = list(self.u2s_params["embedding"].values())[0]
+        table = self._u2s_unit_table()
         n_units = table.shape[0]
         probs = probs[..., :n_units]
         emb = jnp.einsum("btu,ud->btd", probs, table,
@@ -137,8 +163,9 @@ class E2ETuneSystem(TacoT2USystem):
             d_targets=u2s_batch.durations, lang_args=u2s_batch.lang_ids,
         )
 
-    def loss_and_metrics(self, params, batch_stats, batch: E2EBatch, rng,
-                         train, frozen=None):
+    def _e2e_loss(self, params, batch_stats, batch: E2EBatch, rng, train):
+        """Shared E2E chain; returns the t2u logits so subclasses (DA) can
+        reuse them instead of re-running the decoder."""
         logits, _, new_bs = self.forward(
             params, batch_stats, batch.t2u, rng, train)
         t2u_loss = framewise_ce_loss(logits, batch.t2u.units)
@@ -152,10 +179,17 @@ class E2ETuneSystem(TacoT2USystem):
             self.model_cfg.variance.energy_feature)
         total = t2u_loss + u2s.total   # TransEmbE2ETune.py:184-193
         acc = framewise_accuracy(logits, batch.t2u.units)
-        return total, ({
+        metrics = {
             "Total Loss": total, "T2U Loss": t2u_loss,
             "U2S Loss": u2s.total, "Acc": acc,
-        }, new_bs)
+        }
+        return total, metrics, new_bs, logits
+
+    def loss_and_metrics(self, params, batch_stats, batch: E2EBatch, rng,
+                         train, frozen=None):
+        total, metrics, new_bs, _ = self._e2e_loss(
+            params, batch_stats, batch, rng, train)
+        return total, (metrics, new_bs)
 
 
 class DABatch(NamedTuple):
@@ -192,12 +226,9 @@ class DAE2ETuneSystem(E2ETuneSystem):
 
     def loss_and_metrics(self, params, batch_stats, batch: "DAE2EBatch",
                          rng, train, frozen=None):
-        e2e_total, (metrics, new_bs) = super().loss_and_metrics(
+        e2e_total, metrics, new_bs, logits = self._e2e_loss(
             params, batch_stats, E2EBatch(t2u=batch.t2u, u2s=batch.u2s),
-            rng, train, frozen)
-        # recompute logits for the DA term (cheap relative to the chain)
-        logits, _, _ = self.forward(params, batch_stats, batch.t2u,
-                                    rng, False)
+            rng, train)
         probs = jax.nn.softmax(logits, axis=-1)
         fake_score = self.da.apply({"params": params["da"]}, probs,
                                    batch.t2u.units != 0)
