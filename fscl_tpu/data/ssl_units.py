@@ -18,6 +18,35 @@ from fscl_tpu.data.feature_store import FeatureStore
 from fscl_tpu.eval.dpdp import dpdp_decode, dpdp_segment_to_time, merge_repeats
 
 
+def label_propagate(
+    probs: np.ndarray, n_iters: int = 2, alpha: float = 0.5,
+    window: int = 2,
+) -> np.ndarray:
+    """Label propagation over the temporal frame graph: each frame's class
+    distribution is pulled toward its neighbors', weighted by distribution
+    similarity, then mixed back with the original (P <- alpha*W@P +
+    (1-alpha)*P0). Confident contiguous regions reinforce each other;
+    isolated noisy frames lose confidence — which is exactly what the
+    downstream threshold filter (evaluate_pl_filter,
+    /root/reference/evaluation/compare_unit.py:38-92) keys on."""
+    P0 = probs
+    P = probs
+    T = len(probs)
+    for _ in range(n_iters):
+        acc = np.zeros_like(P)
+        wsum = np.zeros((T, 1), P.dtype)
+        for off in range(1, min(window, T - 1) + 1):
+            w = (P[:-off] * P[off:]).sum(-1, keepdims=True)
+            acc[:-off] += w * P[off:]
+            wsum[:-off] += w
+            acc[off:] += w * P[:-off]
+            wsum[off:] += w
+        smoothed = np.where(wsum > 0, acc / np.maximum(wsum, 1e-12), P)
+        P = alpha * smoothed + (1.0 - alpha) * P0
+        P = P / np.maximum(P.sum(-1, keepdims=True), 1e-12)
+    return P
+
+
 def generate_ssl_units(
     store: FeatureStore,
     unit_name: str,
@@ -25,9 +54,20 @@ def generate_ssl_units(
     queries: Optional[Sequence[dict]] = None,
     fp: float = 0.02,
     lam: float = 0.0,
+    save_matrices: bool = True,
+    lp_iters: int = 2,
+    lp_alpha: float = 0.5,
 ) -> int:
     """Populate ssl_units/<unit_name> with segment/phoneme/duration features
-    + duration-averaged pitch/energy aligned to the unit segmentation."""
+    + duration-averaged pitch/energy aligned to the unit segmentation.
+
+    With `save_matrices`, also writes the per-frame confidence matrices the
+    reference's pseudo-label filter consumes (SSLUnitParser slots,
+    /root/reference/Parsers/parser.py:136-139): `alignment_matrix` =
+    1 - softmax(frame logits) and `lp_matrix` = 1 - label-propagated
+    probabilities, both stored as COST matrices so that argmax(1 - mat) is
+    the frame label and max(1 - mat) its confidence
+    (/root/reference/evaluation/compare_unit.py:66-67)."""
     unit_store = store.get_ssl_unit_store(unit_name)
     queries = queries if queries is not None else store.load_metadata()
     n_done = 0
@@ -49,6 +89,13 @@ def generate_ssl_units(
             [[float(s), float(e)] for s, e in time_segments], q)
         unit_store.phoneme.save(" ".join(str(l) for l in labels), q)
         unit_store.duration.save(durations, q)
+
+        if save_matrices:
+            probs = np.exp(logp)
+            unit_store.alignment_matrix.save(
+                (1.0 - probs).astype(np.float32), q)
+            lp = label_propagate(probs, n_iters=lp_iters, alpha=lp_alpha)
+            unit_store.lp_matrix.save((1.0 - lp).astype(np.float32), q)
 
         # duration-averaged pitch/energy on the unit segmentation (the
         # u2s FastSpeech2 trains on these)

@@ -115,3 +115,70 @@ def evaluate_pseudo_labels(
         "fer": fer_over_infos(infos),
         "n": len(infos),
     }
+
+
+def evaluate_pl_filter(
+    store: FeatureStore,
+    unit_name: str,
+    symbol_ref2unify: Optional[Dict[str, str]] = None,
+    symbol_pred2unify: Optional[Dict[str, str]] = None,
+    thresholds: Sequence[float] = (0.01, 0.2, 0.9, 0.95),
+    queries: Optional[Sequence[dict]] = None,
+    fp: float = 0.02,
+    matrix: str = "lp_matrix",
+) -> Dict[str, object]:
+    """Pseudo-label confidence filtering via the label-propagation matrices
+    (/root/reference/evaluation/compare_unit.py:38-92): per frame, the
+    predicted class is argmax(1 - mat) with confidence max(1 - mat); for
+    each threshold count how many frames are activated (confidence >
+    threshold) and how many of those match the MFA ground-truth frame
+    label, both as fractions of ALL frames — the reference's exact
+    accounting (activated/n_frames, matched/n_frames).
+
+    `symbol_*2unify` map reference phonemes / predicted class indices (as
+    strings) into one shared inventory; identity when omitted."""
+    from fscl_tpu.eval.metrics import expand, segment2duration
+
+    unit_store = store.get_ssl_unit_store(unit_name)
+    mat_feature = getattr(unit_store, matrix)
+    queries = queries if queries is not None else store.load_metadata()
+    ref2unify = symbol_ref2unify or {}
+    pred2unify = symbol_pred2unify or {}
+
+    correct: List[int] = []
+    values: List[float] = []
+    n_skipped = 0
+    for q in queries:
+        try:
+            mat = np.asarray(mat_feature.read_from_query(q))
+            ref_phoneme = store.phoneme.read_from_query(q).strip().split(" ")
+            ref_segment = store.mfa_segment.read_from_query(q)
+            ref_seq = expand(ref_phoneme, segment2duration(ref_segment, fp))
+            assert mat.shape[0] <= len(ref_seq)
+            pred_seq = np.argmax(1.0 - mat, axis=1)
+            pred_value = np.max(1.0 - mat, axis=1)
+            for x1, x2 in zip(ref_seq, pred_seq):
+                a = ref2unify.get(x1, x1)
+                b = pred2unify.get(str(x2), str(x2))
+                correct.append(1 if a == b else 0)
+            values.extend(pred_value[: len(ref_seq)].tolist())
+        except Exception:
+            n_skipped += 1
+            continue
+
+    n_frames = len(correct)
+    correct_arr = np.asarray(correct)
+    values_arr = np.asarray(values)
+    sweep = []
+    for threshold in thresholds:
+        active = values_arr > threshold
+        activated = int(np.sum(active))
+        matched = int(np.sum(correct_arr[active]))
+        sweep.append({
+            "threshold": float(threshold),
+            "activated": activated,
+            "matched": matched,
+            "activated_rate": activated / n_frames if n_frames else 0.0,
+            "accuracy": matched / n_frames if n_frames else 0.0,
+        })
+    return {"n_frames": n_frames, "n_skipped": n_skipped, "sweep": sweep}

@@ -1,0 +1,128 @@
+"""Pseudo-label filter path: alignment/lp matrices + threshold sweeps.
+
+Mirrors /root/reference/evaluation/compare_unit.py:38-92 accounting
+(activated/n_frames, matched/n_frames over all frames, pred from
+argmax(1 - mat), confidence from max(1 - mat))."""
+import numpy as np
+
+from fscl_tpu.data.feature_store import FeatureStore
+from fscl_tpu.data.ssl_units import generate_ssl_units, label_propagate
+from fscl_tpu.eval.drivers import evaluate_pl_filter
+
+
+def _mini_store(tmp_path):
+    store = FeatureStore(str(tmp_path))
+    q = {"spk": "s", "basename": "u1"}
+    store.save_metadata([q])
+    # ground truth: 3 phonemes x 10 frames at fp=0.02
+    store.phoneme.save("a b c", q)
+    store.mfa_segment.save([[0.0, 0.2], [0.2, 0.4], [0.4, 0.6]], q)
+    return store, q
+
+
+def _logits():
+    # frames 0-9 -> class 1, 10-19 -> class 2, 20-29 -> class 3;
+    # frame 9 is an isolated wrong prediction (class 4), frames 10-11
+    # are low-confidence (near-uniform between 2 and 4)
+    lp = np.full((30, 5), -8.0, np.float32)
+    lp[:9, 1] = 0.0
+    lp[9, 4] = 0.0
+    lp[10:12, 2] = 0.1
+    lp[10:12, 4] = 0.0
+    lp[12:20, 2] = 0.0
+    lp[20:, 3] = 0.0
+    return lp
+
+
+REF2UNIFY = {"a": "u1", "b": "u2", "c": "u3"}
+PRED2UNIFY = {str(i): f"u{i}" for i in range(5)}
+
+
+def test_matrices_written_and_sweep_matches_reference_accounting(tmp_path):
+    store, q = _mini_store(tmp_path)
+    logits = _logits()
+    n = generate_ssl_units(store, "units", lambda _q: logits)
+    assert n == 1
+    us = store.get_ssl_unit_store("units")
+
+    # alignment_matrix = 1 - softmax(logits): frame label = argmax(1 - mat)
+    am = np.asarray(us.alignment_matrix.read_from_query(q))
+    assert am.shape == (30, 5)
+    np.testing.assert_array_equal(
+        np.argmax(1.0 - am, axis=1), np.argmax(logits, axis=1))
+    lm = np.asarray(us.lp_matrix.read_from_query(q))
+    assert lm.shape == (30, 5)
+
+    result = evaluate_pl_filter(
+        store, "units", REF2UNIFY, PRED2UNIFY,
+        thresholds=[0.01, 0.5, 0.9], matrix="lp_matrix")
+    assert result["n_frames"] == 30 and result["n_skipped"] == 0
+
+    # independent mirror of the reference math over the saved matrix
+    ref_seq = ["a"] * 10 + ["b"] * 10 + ["c"] * 10
+    pred_seq = np.argmax(1.0 - lm, axis=1)
+    values = np.max(1.0 - lm, axis=1)
+    correct = np.array([
+        1 if REF2UNIFY[r] == PRED2UNIFY[str(p)] else 0
+        for r, p in zip(ref_seq, pred_seq)])
+    for row in result["sweep"]:
+        thr = row["threshold"]
+        assert row["activated"] == int(np.sum(values > thr))
+        assert row["matched"] == int(np.sum(correct[values > thr]))
+        assert row["activated_rate"] == row["activated"] / 30
+        assert row["accuracy"] == row["matched"] / 30
+    # higher thresholds never activate more frames
+    acts = [r["activated"] for r in result["sweep"]]
+    assert acts == sorted(acts, reverse=True)
+
+
+def test_label_propagation_suppresses_isolated_noise(tmp_path):
+    store, q = _mini_store(tmp_path)
+    generate_ssl_units(store, "units", lambda _q: _logits())
+    us = store.get_ssl_unit_store("units")
+    am = np.asarray(us.alignment_matrix.read_from_query(q))
+    lm = np.asarray(us.lp_matrix.read_from_query(q))
+    # raw confidence of the isolated wrong frame 9 is ~1; after label
+    # propagation its neighbors (class 1) either flip its label or cut its
+    # confidence — so the filter can reject it at a high threshold
+    raw_conf = np.max(1.0 - am, axis=1)
+    lp_conf = np.max(1.0 - lm, axis=1)
+    lp_pred = np.argmax(1.0 - lm, axis=1)
+    assert raw_conf[9] > 0.99
+    assert lp_pred[9] == 1 or lp_conf[9] < raw_conf[9] - 0.05
+    # confident contiguous regions stay confident
+    assert lp_conf[:8].min() > 0.9 and lp_conf[22:].min() > 0.9
+
+    # filtering at 0.95 on lp keeps a larger share of ACCURATE frames than
+    # the raw matrix does on this fixture (the reference's motivation)
+    res_lp = evaluate_pl_filter(
+        store, "units", REF2UNIFY, PRED2UNIFY, thresholds=[0.95],
+        matrix="lp_matrix")
+    res_am = evaluate_pl_filter(
+        store, "units", REF2UNIFY, PRED2UNIFY, thresholds=[0.95],
+        matrix="alignment_matrix")
+    acc_lp = res_lp["sweep"][0]
+    acc_am = res_am["sweep"][0]
+    assert acc_lp["matched"] >= acc_lp["activated"] - 1   # lp: clean set
+    assert acc_am["activated"] - acc_am["matched"] >= 1   # raw: noise kept
+
+
+def test_propagation_preserves_distribution_shape():
+    rng = np.random.default_rng(0)
+    probs = rng.dirichlet(np.ones(6), size=40).astype(np.float32)
+    out = label_propagate(probs, n_iters=3, alpha=0.5)
+    assert out.shape == probs.shape
+    np.testing.assert_allclose(out.sum(-1), 1.0, atol=1e-5)
+    assert (out >= 0).all()
+
+
+def test_skip_accounting(tmp_path):
+    store, q = _mini_store(tmp_path)
+    q2 = {"spk": "s", "basename": "u2"}
+    store.save_metadata([q, q2])
+    store.phoneme.save("a", q2)
+    store.mfa_segment.save([[0.0, 0.2]], q2)
+    generate_ssl_units(store, "units", lambda _q: _logits(), queries=[q])
+    # u2 has no matrix -> skipped, u1 evaluated
+    result = evaluate_pl_filter(store, "units", REF2UNIFY, PRED2UNIFY)
+    assert result["n_skipped"] == 1 and result["n_frames"] == 30
