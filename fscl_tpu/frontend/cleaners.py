@@ -45,10 +45,11 @@ def collapse_whitespace(text: str) -> str:
 
 
 def convert_to_ascii(text: str) -> str:
-    """NFKD-based transliteration (covers accented Latin, which is what the
-    reference's corpora need; full unidecode tables are out of scope)."""
-    decomposed = unicodedata.normalize("NFKD", text)
-    return decomposed.encode("ascii", "ignore").decode("ascii")
+    """unidecode-grade transliteration (frontend/translit.py): accented
+    Latin via NFKD, Cyrillic romanization, pinyin for common hanzi — the
+    scripts live in the reference's corpora (CSS10-ru, AISHELL-3)."""
+    from fscl_tpu.frontend.translit import transliterate
+    return transliterate(text)
 
 
 def basic_cleaners(text: str) -> str:

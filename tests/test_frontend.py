@@ -63,3 +63,51 @@ def test_unit_symbol_registration():
     register_unit_symbols("hubert-unit-64", 64)
     assert n_symbols("hubert-unit-64") == len(common_symbols) + 64
     assert LANG_ID2SYMBOLS["hubert-unit-64"][len(common_symbols)] == "0"
+
+
+def test_transliteration_cyrillic_unidecode_parity():
+    """convert_to_ascii on Cyrillic matches unidecode's romanization
+    (the reference's transliteration_cleaners backend, text/cleaners.py) —
+    goldens hand-derived from unidecode's x004 table."""
+    from fscl_tpu.frontend.cleaners import (
+        convert_to_ascii, transliteration_cleaners,
+    )
+    goldens = {
+        "Москва": "Moskva",
+        "Жюри": "Zhiuri",
+        "щука": "shchuka",
+        "ёж": "iozh",
+        "Юрий": "Iurii",
+        "объект": "ob'ekt",
+        "семья": "sem'ia",
+        "Хорошо": "Khorosho",
+        "Царь": "Tsar'",
+        "Чехов": "Chekhov",
+        "Шишкин": "Shishkin",
+        "Эхо": "Ekho",
+    }
+    for src, want in goldens.items():
+        assert convert_to_ascii(src) == want, (src, convert_to_ascii(src))
+    # full cleaner: lowercased + collapsed
+    assert transliteration_cleaners("Москва  слезам") == "moskva slezam"
+
+
+def test_transliteration_hanzi_pinyin():
+    """Common hanzi emit unidecode-format pinyin ("Bei Jing "); AISHELL-3
+    style everyday sentences come out pronounceable, not empty."""
+    from fscl_tpu.frontend.cleaners import (
+        convert_to_ascii, transliteration_cleaners,
+    )
+    assert convert_to_ascii("北京") == "Bei Jing "
+    assert convert_to_ascii("你好") == "Ni Hao "
+    # unidecode keeps each syllable's trailing space and does NOT insert
+    # one after preceding ASCII ("ABC与" -> "ABCYu ")
+    assert transliteration_cleaners("我们是中国人") == "wo men shi zhong guo ren "
+    assert transliteration_cleaners("他去北京上学") == "ta qu bei jing shang xue "
+    assert transliteration_cleaners("ABC与我") == "abcyu wo "
+
+
+def test_transliteration_latin_accents_unchanged():
+    from fscl_tpu.frontend.cleaners import convert_to_ascii
+    assert convert_to_ascii("café naïve Größe") == "cafe naive Groe"
+    assert convert_to_ascii("plain ascii 123.") == "plain ascii 123."
