@@ -49,6 +49,40 @@ def fastspeech2_param_spec(path: str, leaf) -> P:
     return P()
 
 
+def upstream_param_spec(path: str, leaf) -> P:
+    """Dotted-path -> PartitionSpec for the (frozen) SSL upstream
+    (models/hubert.py) — Megatron column/row sharding of the transformer
+    layers so a 300M-param hubert-large (or larger XLSR,
+    /root/reference/Define.py:32-51) is no longer replicated per device.
+
+    Handles BOTH layer layouts: per-layer (`layer_3.q_proj.kernel`,
+    (d, d)) and the nn.scan stack (`layers.q_proj.kernel`,
+    (n_layers, d, d)) — scanned leaves carry a leading layer axis, so every
+    spec gains a leading None. Conv feature extractor, layer norms and
+    positional conv stay replicated (tiny)."""
+    scan = ".layers." in f".{path}" or path.startswith("layers.")
+    pre = (None,) if scan else ()
+    if re.search(r"(q_proj|k_proj|v_proj|fc1)\.kernel$", path):
+        return P(*pre, None, MODEL_AXIS)    # column parallel
+    if re.search(r"(q_proj|k_proj|v_proj|fc1)\.bias$", path):
+        return P(*pre, MODEL_AXIS)
+    if re.search(r"(out_proj|fc2)\.kernel$", path):
+        return P(*pre, MODEL_AXIS, None)    # row parallel
+    return P()
+
+
+def frozen_spec(path: str, leaf) -> P:
+    """Spec for TrainState.frozen collections: upstream transformer layers
+    TP-sharded, anything else replicated."""
+    if path.startswith("upstream.") or ".upstream." in f".{path}":
+        sub = path.split("upstream.", 1)[1]
+        # strip the flax variables wrapper ({"params": ...})
+        if sub.startswith("params."):
+            sub = sub[len("params."):]
+        return upstream_param_spec(sub, leaf)
+    return P()
+
+
 def _spec_tree(params, spec_fn: Callable[[str, Any], P]):
     def walk(path, leaf):
         dotted = ".".join(str(getattr(k, "key", k)) for k in path)
@@ -57,9 +91,11 @@ def _spec_tree(params, spec_fn: Callable[[str, Any], P]):
     return jax.tree_util.tree_map_with_path(walk, params)
 
 
-def state_shardings(state, mesh: Mesh, spec_fn=fastspeech2_param_spec):
+def state_shardings(state, mesh: Mesh, spec_fn=fastspeech2_param_spec,
+                    frozen_spec_fn=frozen_spec):
     """NamedShardings for a TrainState: params by spec_fn; Adam mu/nu mirror
-    the param specs (same treedef); everything else replicated."""
+    the param specs (same treedef); frozen collections by frozen_spec_fn
+    (upstream TP-sharded by default); everything else replicated."""
     param_specs = _spec_tree(state.params, spec_fn)
     param_sh = jax.tree_util.tree_map(
         lambda s: NamedSharding(mesh, s), param_specs)
@@ -93,16 +129,23 @@ def state_shardings(state, mesh: Mesh, spec_fn=fastspeech2_param_spec):
 
         return walk(opt_state)
 
+    frozen_sh = None
+    if state.frozen is not None:
+        frozen_sh = jax.tree_util.tree_map(
+            lambda s: NamedSharding(mesh, s),
+            _spec_tree(state.frozen, frozen_spec_fn))
     return type(state)(
         step=rep,
         params=param_sh,
         batch_stats=jax.tree_util.tree_map(lambda _: rep, state.batch_stats),
         opt_state=mirror_opt(state.opt_state),
+        frozen=frozen_sh,
     )
 
 
-def shard_state(state, mesh: Mesh, spec_fn=fastspeech2_param_spec):
-    sh = state_shardings(state, mesh, spec_fn)
+def shard_state(state, mesh: Mesh, spec_fn=fastspeech2_param_spec,
+                frozen_spec_fn=frozen_spec):
+    sh = state_shardings(state, mesh, spec_fn, frozen_spec_fn)
     return jax.tree_util.tree_map(
         lambda x, s: jax.device_put(np.asarray(x) if not hasattr(x, "sharding")
                                     else x, s),
@@ -110,10 +153,10 @@ def shard_state(state, mesh: Mesh, spec_fn=fastspeech2_param_spec):
 
 
 def make_tp_train_step(system, mesh: Mesh, spec_fn=fastspeech2_param_spec,
-                       example_state=None):
+                       example_state=None, frozen_spec_fn=frozen_spec):
     """jit the train step with TP param shardings + DP batch sharding."""
     assert example_state is not None, "pass example_state for shardings"
-    st_sh = state_shardings(example_state, mesh, spec_fn)
+    st_sh = state_shardings(example_state, mesh, spec_fn, frozen_spec_fn)
     bsh = batch_sharding(mesh)
     rep = NamedSharding(mesh, P())
     return jax.jit(
