@@ -107,6 +107,31 @@ def main(argv=None):
     c.add_argument("data_dir")
     c.add_argument("--output", default=None)
 
+    r = sub.add_parser(
+        "rehearse",
+        help="full-experiment rehearsal: corpus -> meta-train -> task "
+             "generation -> transplant -> adaptation -> synthesis -> eval, "
+             "timed per phase (rehearsal.json)")
+    r.add_argument("--exp_dir", default="output/rehearsal")
+    r.add_argument("--preset", choices=["tiny", "full"], default="tiny",
+                   help="tiny: CPU-smoke sizes; full: reference scale "
+                        "(enc4/dec6 256d + hubert-large scanned bf16)")
+    r.add_argument("--episodes", type=int, default=40,
+                   help="meta-training episodes")
+    r.add_argument("--adapt_steps", type=int, default=200,
+                   help="test-time adaptation budget (reference: 20000)")
+    r.add_argument("--shots", type=int, default=4)
+    r.add_argument("--queries", type=int, default=2)
+    r.add_argument("--corpus_utts", type=int, default=12,
+                   help="utterances per synthetic corpus")
+    r.add_argument("--lr", type=float, default=1e-3)
+    r.add_argument("--adapt_lr", type=float, default=1e-4)
+    r.add_argument("--data_config", action="append", default=None,
+                   help="meta-train corpora (repeatable); with --target, "
+                        "skips synthetic corpus generation")
+    r.add_argument("--target", default=None,
+                   help="held-out target-language data config")
+
     args = parser.parse_args(argv)
     if args.command == "preprocess":
         from fscl_tpu.cli.preprocess_cmd import run
@@ -122,6 +147,8 @@ def main(argv=None):
         from fscl_tpu.cli.evaluate_cmd import run
     elif args.command == "clean":
         from fscl_tpu.cli.clean_cmd import run
+    elif args.command == "rehearse":
+        from fscl_tpu.cli.rehearse_cmd import run
     else:
         parser.error(f"unknown command {args.command}")
     return run(args)

@@ -17,7 +17,7 @@ from typing import Dict, List, Optional, Sequence, Tuple
 import numpy as np
 
 from fscl_tpu.core.stats import GlobalStats, merge_stats
-from fscl_tpu.data.feature_store import FeatureStore
+from fscl_tpu.data.feature_store import FeatureStore, write_queries_to_txt
 
 _HTS_TIME_UNIT = 1e-7   # HTS label times are in 100 ns units
 
@@ -168,3 +168,105 @@ def mfa_align_command(mfa_data_dir: str, dictionary_path: str,
     the exact command for the user (or an orchestrator) to run."""
     return (f"mfa align {mfa_data_dir} {dictionary_path} "
             f"{acoustic_model_path} {output_dir} -j {n_jobs} -v --clean")
+
+
+def synthetic_textgrid(phones: Sequence[str], seg_dur: float = 0.12,
+                       lead: float = 0.05) -> str:
+    """ooTextFile LONG-format TextGrid with one interval per phone — the
+    format the dsp.textgrid parser ingests (MFA's output format)."""
+    xmax = lead + len(phones) * seg_dur + 0.05
+    intervals = [(0.0, lead, "")]
+    t = lead
+    for p in phones:
+        intervals.append((t, t + seg_dur, p))
+        t += seg_dur
+    intervals.append((t, xmax, ""))
+    body = "".join(
+        f"        intervals [{i + 1}]:\n"
+        f"            xmin = {a}\n            xmax = {b}\n"
+        f"            text = \"{p}\"\n"
+        for i, (a, b, p) in enumerate(intervals))
+    return (
+        'File type = "ooTextFile"\nObject class = "TextGrid"\n\n'
+        f"xmin = 0\nxmax = {xmax}\ntiers? <exists>\nsize = 1\nitem []:\n"
+        "    item [1]:\n        class = \"IntervalTier\"\n"
+        "        name = \"phones\"\n"
+        f"        xmin = 0\n        xmax = {xmax}\n"
+        f"        intervals: size = {len(intervals)}\n" + body)
+
+
+def make_synthetic_corpus(
+    root: str,
+    name: str = "synthetic",
+    n_utts: int = 12,
+    seed: int = 0,
+    phones: Sequence[str] = ("HH", "AY1", "W", "ER1", "L", "D", "AH0", "N"),
+    n_phones_per_utt: int = 6,
+    lang_id: int = 0,
+    symbol_id: str = "en",
+    val_frac: float = 0.25,
+    f0_base: float = 140.0,
+) -> str:
+    """Build a fully-preprocessed synthetic mini-corpus (wavs with
+    per-phone carrier frequencies + long-format TextGrids, run through the
+    REAL preprocessing stages) and return the path of its data-config
+    yaml. The acoustics are a deterministic function of the phone
+    sequence, so phoneme->acoustic mappings are learnable — the fixture
+    for end-to-end rehearsals (`fscl_tpu rehearse`) and CLI tests."""
+    from fscl_tpu.dsp.audio_io import save_wav
+    from fscl_tpu.dsp.preprocess import (
+        compute_stats, prepare_initial_features, preprocess_utterance,
+    )
+
+    os.makedirs(root, exist_ok=True)
+    store = FeatureStore(os.path.join(root, "features"))
+    rng = np.random.default_rng(seed)
+    sr = 22050
+    seg = 0.12
+    # per-phone carrier: acoustics correlate with phone identity
+    freqs = {p: f0_base + 35.0 * i for i, p in enumerate(phones)}
+
+    queries, samples = [], []
+    for i in range(n_utts):
+        utt_phones = [phones[int(j)] for j in
+                      rng.integers(0, len(phones), n_phones_per_utt)]
+        dur = 0.05 + n_phones_per_utt * seg + 0.05
+        n = int(sr * dur)
+        wav = 0.03 * rng.normal(size=n).astype(np.float32)
+        for k, p in enumerate(utt_phones):
+            a, b = int(sr * (0.05 + k * seg)), int(sr * (0.05 + (k + 1) * seg))
+            t = np.arange(b - a) / sr
+            wav[a:b] += (0.4 * np.sin(2 * np.pi * freqs[p] * t)
+                         + 0.1 * np.sin(2 * np.pi * 2 * freqs[p] * t)
+                         ).astype(np.float32)
+        wav_path = os.path.join(root, f"u{i}.wav")
+        save_wav(wav_path, wav, sr)
+        tg_path = os.path.join(root, f"u{i}.TextGrid")
+        with open(tg_path, "w") as f:
+            f.write(synthetic_textgrid(utt_phones, seg))
+        q = {"spk": "spk0", "basename": f"u{i}"}
+        prepare_initial_features(store, q, wav_path, " ".join(utt_phones))
+        s = preprocess_utterance(store, q, tg_path)
+        assert s is not None, f"synthetic utterance {i} failed preprocessing"
+        queries.append(q)
+        samples.append(s)
+    compute_stats(samples, store)
+    store.save_speakers(["spk0"])
+    store.flush()
+
+    splits_dir = os.path.join(root, "splits")
+    os.makedirs(splits_dir, exist_ok=True)
+    n_val = max(1, int(n_utts * val_frac))
+    write_queries_to_txt(store, queries[n_val:],
+                         os.path.join(splits_dir, "train.txt"))
+    write_queries_to_txt(store, queries[:n_val],
+                         os.path.join(splits_dir, "val.txt"))
+
+    cfg_path = os.path.join(root, "data.yaml")
+    with open(cfg_path, "w") as f:
+        f.write(
+            f"name: {name}\nlang_id: {lang_id}\nsymbol_id: {symbol_id}\n"
+            f"data_dir: {store.root}\n"
+            "text_cleaners: [basic_cleaners]\n"
+            "subsets:\n  train: splits/train.txt\n  val: splits/val.txt\n")
+    return cfg_path

@@ -164,3 +164,28 @@ def test_cli_train_then_synth(cli_corpus, tmp_path):
     assert wavs == ["0000.wav", "0001.wav", "0002.wav"]
     assert all(os.path.getsize(os.path.join(out_dir, w)) > 100
                for w in wavs)
+
+
+@pytest.mark.slow
+def test_cli_rehearse_full_chain(tmp_path):
+    """One-command full-experiment rehearsal (VERDICT r2 #1): corpus ->
+    meta-train -> tasks -> transplant -> adapt -> synthesis -> eval in a
+    single CLI invocation; rehearsal.json carries every phase + metrics."""
+    import json
+    exp = tmp_path / "rehearsal"
+    r = run_cli("rehearse", "--exp_dir", str(exp),
+                "--episodes", "6", "--adapt_steps", "15",
+                "--corpus_utts", "10", timeout=560)
+    assert r.returncode == 0, r.stdout + r.stderr
+    report = json.loads((exp / "rehearsal.json").read_text())
+    for phase in ("corpus", "meta-train", "tasks", "transplant", "adapt",
+                  "synthesis", "eval"):
+        assert phase in report["phase_seconds"], report["phase_seconds"]
+    assert report["meta_last_loss"] < report["meta_first_loss"]
+    assert report["adapt_last_loss"] < report["adapt_first_loss"]
+    assert report["synth_frames"] > 0
+    assert 0.0 <= report["duration_fer"] <= 1.0
+    # the generated task dir is a real few-shot task bundle
+    task_dir = exp / "few_shot_tasks" / "4-shot" / "task-0"
+    assert (task_dir / "train.txt").is_file()
+    assert (task_dir / "config.yaml").is_file()
