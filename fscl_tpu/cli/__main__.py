@@ -91,6 +91,17 @@ def main(argv=None):
     e = sub.add_parser("evaluate", help="PER/FER over task output dirs")
     e.add_argument("dir")
     e.add_argument("--metric", choices=["per", "fer", "both"], default="both")
+    e.add_argument("--pl_filter", action="store_true",
+                   help="pseudo-label confidence threshold sweep: `dir` is "
+                        "a feature-store root; reads "
+                        "ssl_units/<unit_name>/{lp,alignment}_matrix")
+    e.add_argument("--unit_name", default=None)
+    e.add_argument("--thresholds", default="0.01,0.2,0.9,0.95")
+    e.add_argument("--matrix", choices=["lp_matrix", "alignment_matrix"],
+                   default="lp_matrix")
+    e.add_argument("--unify_map", default=None,
+                   help="json with ref2unify/pred2unify symbol maps "
+                        "(shared-inventory comparison)")
 
     mu = sub.add_parser("make-units",
                         help="pseudo-unit discovery (k-means + DPDP) into "

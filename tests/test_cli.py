@@ -63,3 +63,41 @@ def test_cli_clean(tmp_path):
     with open(tmp_path / "data_info-clean.json") as f:
         kept = json.load(f)
     assert kept == [ok_q]
+
+
+def test_cli_evaluate_pl_filter(tmp_path, capsys):
+    """`fscl_tpu evaluate --pl_filter` sweeps the lp-matrix thresholds on a
+    feature store (compare_unit.evaluate_pl_filter CLI surface)."""
+    import json as _json
+
+    import numpy as np
+
+    from fscl_tpu.cli.__main__ import main
+    from fscl_tpu.data.feature_store import FeatureStore
+    from fscl_tpu.data.ssl_units import generate_ssl_units
+
+    store = FeatureStore(str(tmp_path / "features"))
+    q = {"spk": "s", "basename": "u1"}
+    store.save_metadata([q])
+    store.phoneme.save("a b c", q)
+    store.mfa_segment.save([[0.0, 0.2], [0.2, 0.4], [0.4, 0.6]], q)
+    lp = np.full((30, 5), -8.0, np.float32)
+    lp[:10, 1] = 0.0
+    lp[10:20, 2] = 0.0
+    lp[20:, 3] = 0.0
+    generate_ssl_units(store, "units", lambda _q: lp)
+    store.flush()
+    umap = tmp_path / "unify.json"
+    umap.write_text(_json.dumps({
+        "ref2unify": {"a": "u1", "b": "u2", "c": "u3"},
+        "pred2unify": {str(i): f"u{i}" for i in range(5)}}))
+    rc = main(["evaluate", store.root, "--pl_filter", "--unit_name",
+               "units", "--unify_map", str(umap),
+               "--thresholds", "0.5,0.99"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "total frames: 30" in out
+    assert "Threshold 0.5" in out and "Threshold 0.99" in out
+    # perfectly matching fixture: 100% activation and accuracy at 0.5
+    assert "Activated: 30/30 = 100.00%" in out
+    assert "Accuracy: 30/30 = 100.00%" in out
