@@ -110,9 +110,14 @@ def evaluate_pseudo_labels(
             "gt_segment": store.mfa_segment.read_from_query(q),
             "pred_segment": unit_store.segment.read_from_query(q),
         })
+    from fscl_tpu.eval.metrics import segmentation_recall_over_infos
+    seg = segmentation_recall_over_infos(infos)
     return {
         "per": per_over_infos(infos),
         "fer": fer_over_infos(infos),
+        "seg_recall": seg["recall"],
+        "seg_precision": seg["precision"],
+        "seg_f1": seg["f1"],
         "n": len(infos),
     }
 

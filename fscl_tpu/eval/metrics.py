@@ -95,3 +95,53 @@ def mel_cepstral_distortion(mel_a: np.ndarray, mel_b: np.ndarray) -> float:
     diff = np.asarray(mel_a[:n], np.float64) - np.asarray(mel_b[:n], np.float64)
     return float(np.mean(np.sqrt(2.0 * np.sum(diff ** 2, axis=-1)))
                  * 10.0 / np.log(10.0))
+
+
+def segmentation_boundary_metrics(
+    gt_segments, pred_segments, tolerance: float = 0.02,
+):
+    """Boundary precision/recall/F1 at +-tolerance seconds
+    (compare_unit.py:109-119 seg_evaluator role — the reference reports
+    recall of its SegmentationEvaluator over mfa_segment vs ssl_units
+    segment). A ground-truth boundary counts as recalled if ANY predicted
+    boundary lies within the tolerance; each predicted boundary can match
+    at most one reference boundary (greedy in time order)."""
+    gt = sorted({round(float(t), 6) for seg in gt_segments for t in seg})
+    pred = sorted({round(float(t), 6) for seg in pred_segments for t in seg})
+    matched = 0
+    j = 0
+    used = [False] * len(pred)
+    for t in gt:
+        best, best_d = -1, tolerance + 1e-9
+        for k in range(len(pred)):
+            if used[k]:
+                continue
+            d = abs(pred[k] - t)
+            if d < best_d:
+                best, best_d = k, d
+        if best >= 0 and best_d <= tolerance:
+            used[best] = True
+            matched += 1
+    recall = matched / len(gt) if gt else 0.0
+    precision = matched / len(pred) if pred else 0.0
+    f1 = (2 * precision * recall / (precision + recall)
+          if precision + recall > 0 else 0.0)
+    return {"recall": recall, "precision": precision, "f1": f1,
+            "n_gt": len(gt), "n_pred": len(pred), "matched": matched}
+
+
+def segmentation_recall_over_infos(infos, tolerance: float = 0.02) -> dict:
+    """Aggregate boundary metrics over {gt_segment, pred_segment} infos
+    (micro-averaged over all boundaries)."""
+    tot_gt = tot_pred = tot_match = 0
+    for info in infos:
+        m = segmentation_boundary_metrics(
+            info["gt_segment"], info["pred_segment"], tolerance)
+        tot_gt += m["n_gt"]
+        tot_pred += m["n_pred"]
+        tot_match += m["matched"]
+    recall = tot_match / tot_gt if tot_gt else 0.0
+    precision = tot_match / tot_pred if tot_pred else 0.0
+    f1 = (2 * precision * recall / (precision + recall)
+          if precision + recall > 0 else 0.0)
+    return {"recall": recall, "precision": precision, "f1": f1}

@@ -85,3 +85,29 @@ def test_fer_golden_reference_semantics():
         gt_segment=[(0.0, 0.02), (0.02, 0.06)],
         pred_segment=[(0.0, 0.02)])
     assert err == pytest.approx(1.0 / 3.0)
+
+
+def test_segmentation_boundary_metrics():
+    """Boundary recall/precision at 20 ms (the reference's seg_evaluator
+    recall, compare_unit.py:109-119)."""
+    from fscl_tpu.eval.metrics import (
+        segmentation_boundary_metrics, segmentation_recall_over_infos,
+    )
+    gt = [[0.0, 0.2], [0.2, 0.4], [0.4, 0.6]]
+    # perfect boundaries
+    m = segmentation_boundary_metrics(gt, gt)
+    assert m["recall"] == 1.0 and m["precision"] == 1.0 and m["f1"] == 1.0
+    # one boundary shifted within tolerance, one far off
+    pred = [[0.0, 0.21], [0.21, 0.5], [0.5, 0.6]]
+    m = segmentation_boundary_metrics(gt, pred, tolerance=0.02)
+    # boundaries gt {0,.2,.4,.6} pred {0,.21,.5,.6}: 0, .2~.21, .6 match
+    assert m["matched"] == 3 and m["n_gt"] == 4
+    assert m["recall"] == 3 / 4 and m["precision"] == 3 / 4
+    # over-segmentation: recall perfect, precision low
+    over = [[i * 0.05, (i + 1) * 0.05] for i in range(12)]
+    m = segmentation_boundary_metrics(gt, over, tolerance=0.02)
+    assert m["recall"] == 1.0 and m["precision"] < 0.5
+    # aggregate
+    agg = segmentation_recall_over_infos(
+        [{"gt_segment": gt, "pred_segment": pred}])
+    assert agg["recall"] == 3 / 4
