@@ -142,6 +142,9 @@ def main(argv=None):
                         "skips synthetic corpus generation")
     r.add_argument("--target", default=None,
                    help="held-out target-language data config")
+    r.add_argument("--write_wavs", action="store_true",
+                   help="also render the synthesized mels to wav via "
+                        "Griffin-Lim into exp_dir/wavs/")
 
     args = parser.parse_args(argv)
     if args.command == "preprocess":

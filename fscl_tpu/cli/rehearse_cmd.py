@@ -141,7 +141,7 @@ def run(args):
             FSCLDataset(dc.subset_path("train"), FeatureStore(dc.data_dir),
                         dc, model_cfg, upstream=model_cfg.upstream.name)
             for dc in meta_cfgs]
-        samples_all, labels = [], []
+        labels = []
         for d, dc in zip(datasets, meta_cfgs):
             labels.extend([dc.lang_id] * len(d))
         sampler = EpisodicSampler(labels, args.shots, args.queries, seed=43)
@@ -245,6 +245,18 @@ def run(args):
         synth_mel_lens = np.asarray(out.mel_len)
         frames = int(synth_mel_lens.sum())
         report["synth_frames"] = frames
+        if args.write_wavs:
+            # mel -> audio via Griffin-Lim (no external vocoder checkpoint
+            # needed; audio_out/vocoder.py fallback)
+            from fscl_tpu.audio_out.vocoder import griffin_lim
+            from fscl_tpu.dsp.audio_io import save_wav
+            wav_dir = os.path.join(args.exp_dir, "wavs")
+            os.makedirs(wav_dir, exist_ok=True)
+            for i in range(len(synth_mels)):
+                n = max(int(synth_mel_lens[i]), 1)
+                wav = np.asarray(griffin_lim(synth_mels[i][:n]))
+                save_wav(os.path.join(wav_dir, f"{i:04d}.wav"), wav, 22050)
+            report["wav_dir"] = wav_dir
     report["synth_frames_per_s"] = frames / phases.times["synthesis"]
 
     # ---- 7. eval ----------------------------------------------------------
