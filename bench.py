@@ -85,8 +85,18 @@ def main():
     mel, mel_len = synth(*args)               # compile
     jax.block_until_ready(mel)
 
+    # tunnel-health diagnostic: median host<->device readback round-trip.
+    # Normal is a few ms; the tunnel has been observed degraded 1000x+
+    # (BASELINE.md round 3) — when rtt is large, every number below is
+    # dominated by transport, not the chip.
+    rtts = []
+    for _ in range(3):
+        t0 = time.time()
+        float(jnp.sum(mel_len))
+        rtts.append(time.time() - t0)
+    tunnel_rtt_ms = round(sorted(rtts)[1] * 1000, 1)
+
     iters = 50
-    frames = 0
     t0 = time.time()
     for _ in range(iters):
         mel, mel_len = synth(*args)
@@ -125,6 +135,7 @@ def main():
         "value": round(value, 1),
         "unit": "mel-frames/s",
         "vs_baseline": round(vs, 2) if vs is not None else None,
+        "tunnel_rtt_ms": tunnel_rtt_ms,
     }))
 
 

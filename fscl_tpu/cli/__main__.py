@@ -67,7 +67,13 @@ def main(argv=None):
                          "(no per-step host round-trips) and write the "
                          "per-step loss curve to adaptation.csv")
     tu.add_argument("--scan_lr", type=float, default=1e-4,
-                    help="SGD learning rate for --scan_adapt")
+                    help="learning rate for --scan_adapt")
+    tu.add_argument("--scan_optimizer", choices=["sgd", "adam"],
+                    default="sgd",
+                    help="--scan_adapt optimizer; adam matches the "
+                         "reference tune flows (Adam beta=(0.9,0.98) + "
+                         "grad clip 1.0), with moments carried across "
+                         "chunks")
 
     s = sub.add_parser("synth", help="synthesize from text")
     s.add_argument("--ckpt_dir", required=True)

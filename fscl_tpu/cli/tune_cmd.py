@@ -78,7 +78,8 @@ def run(args):
         new_params, losses = adapt_on_chip_chunked(
             baseline, b_state.params, b_state.batch_stats,
             dm.train_batches(), args.adaptation_steps,
-            lr=args.scan_lr, symbol_id=dc.symbol_id)
+            lr=args.scan_lr, symbol_id=dc.symbol_id,
+            optimizer=getattr(args, "scan_optimizer", "sgd"))
         b_state = b_state.replace(params=new_params)
         saver = AdaptationSaver(os.path.join(args.exp_dir, "csv"))
         path = saver.save_curve(dc.symbol_id, np.asarray(losses))

@@ -260,3 +260,64 @@ def fast_adaptation_scan(
         return p, loss
 
     return jax.lax.scan(step, params, batches)
+
+
+def adam_carry(params: Any):
+    """Fresh Adam scan carry (params, mu, nu, t) for `adam_scan_carry`."""
+    zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
+    return (params, zeros, zeros, jnp.float32(0.0))
+
+
+def adam_scan_carry(
+    loss_fn: Callable[[Any, Any], jnp.ndarray],
+    carry: Any,                  # from adam_carry (or a previous chunk)
+    batches: Any,                # pytree with leading scan axis (n_steps, ...)
+    lr: float = 1e-3,
+    betas=(0.9, 0.98),
+    eps: float = 1e-9,
+    clip: float = 1.0,
+):
+    """Adam adaptation scan with an EXPLICIT carry, so chunked long-budget
+    runs (tune.adapt_on_chip_chunked) keep the moment estimates warm across
+    chunks. Optimizer matches the reference tune flows: Adam
+    beta=(0.9, 0.98), eps=1e-9, global-norm grad clip 1.0
+    (lightning/optimizer.py:5-15, config/train/fscl.yaml). Returns
+    (new carry, per-step losses)."""
+    b1, b2 = betas
+
+    def step(carry, batch):
+        p, mu, nu, t = carry
+        loss, g = jax.value_and_grad(loss_fn)(p, batch)
+        gnorm = jnp.sqrt(sum(
+            jnp.sum(jnp.square(x)) for x in jax.tree_util.tree_leaves(g)))
+        scale = jnp.minimum(1.0, clip / jnp.maximum(gnorm, 1e-12))
+        g = jax.tree_util.tree_map(lambda x: x * scale, g)
+        t = t + 1
+        mu = jax.tree_util.tree_map(
+            lambda m, x: b1 * m + (1.0 - b1) * x, mu, g)
+        nu = jax.tree_util.tree_map(
+            lambda v, x: b2 * v + (1.0 - b2) * jnp.square(x), nu, g)
+        bc1 = 1.0 - b1 ** t
+        bc2 = 1.0 - b2 ** t
+        p = jax.tree_util.tree_map(
+            lambda a, m, v: a - lr * (m / bc1) / (jnp.sqrt(v / bc2) + eps),
+            p, mu, nu)
+        return (p, mu, nu, t), loss
+
+    return jax.lax.scan(step, carry, batches)
+
+
+def fast_adaptation_scan_adam(
+    loss_fn: Callable[[Any, Any], jnp.ndarray],
+    params: Any,
+    batches: Any,
+    lr: float = 1e-3,
+    betas=(0.9, 0.98),
+    eps: float = 1e-9,
+    clip: float = 1.0,
+):
+    """`fast_adaptation_scan` drop-in with the Adam optimizer (fresh
+    moments). Returns (adapted params, per-step losses)."""
+    carry, losses = adam_scan_carry(
+        loss_fn, adam_carry(params), batches, lr, betas, eps, clip)
+    return carry[0], losses

@@ -26,7 +26,7 @@ from fscl_tpu.nn.losses import fastspeech2_loss
 from fscl_tpu.ops.segment_ops import phoneme_query_sums, queries_from_sums
 from fscl_tpu.systems.baseline import BaselineSystem
 from fscl_tpu.systems.fscl import TransEmbSystem, transplant_embedding
-from fscl_tpu.systems.maml import fast_adaptation_scan
+from fscl_tpu.systems.maml import fast_adaptation_scan, fast_adaptation_scan_adam
 
 
 from fscl_tpu.core.registry import SYSTEMS
@@ -91,18 +91,23 @@ def stack_batches(batches: List[Batch]) -> Batch:
 
 
 def _get_adapt_fn(baseline: BaselineSystem, symbol_id: Optional[str],
-                  many: bool):
+                  many: bool, optimizer: str = "sgd"):
     """Jitted adaptation scan, cached on the system instance so repeated
     calls (task after task at evaluation time) re-trace nothing.
     batch_stats and lr are dynamic arguments — changing them does not
-    recompile; only a new (symbol_id, many) pair does."""
+    recompile; only a new (symbol_id, many, optimizer) triple does.
+    `optimizer`: "sgd" (plain scan) or "adam" (the reference tune flows'
+    Adam + grad clip, maml.fast_adaptation_scan_adam)."""
     cache = baseline.__dict__.setdefault("_adapt_jit_cache", {})
-    key = (symbol_id, many)
+    key = (symbol_id, many, optimizer)
     fn = cache.get(key)
     if fn is None:
+        scan_fn = (fast_adaptation_scan_adam if optimizer == "adam"
+                   else fast_adaptation_scan)
+
         def single(p, bs, b, lr):
             loss_fn = _make_task_loss_fn(baseline, bs, symbol_id)
-            return fast_adaptation_scan(loss_fn, p, b, lr)
+            return scan_fn(loss_fn, p, b, lr)
 
         if many:
             fn = jax.jit(lambda p, bs, b, lr: jax.vmap(
@@ -120,12 +125,13 @@ def adapt_on_chip(
     batches: List[Batch],
     lr: float = 1e-3,
     symbol_id: Optional[str] = None,
+    optimizer: str = "sgd",
 ):
     """Test-time adaptation as ONE lax.scan over the stacked batch sequence
     — no host round-trips between steps. Returns (adapted params,
     per-step losses)."""
     stacked = stack_batches(batches)
-    fn = _get_adapt_fn(baseline, symbol_id, many=False)
+    fn = _get_adapt_fn(baseline, symbol_id, many=False, optimizer=optimizer)
     return fn(params, batch_stats, stacked, jnp.float32(lr))
 
 
@@ -155,19 +161,43 @@ def adapt_on_chip_chunked(
     chunk: int = 500,
     lr: float = 1e-3,
     symbol_id: Optional[str] = None,
+    optimizer: str = "sgd",
 ):
     """`adapt_on_chip` for long budgets (the reference adapts up to 20k
     steps, config/algorithm/language/fscl.yaml): stacking 20k batches on
     the device at once is several GB, so the budget runs as ceil(n/chunk)
     scans of `chunk` steps each. Every chunk reuses the SAME cached jitted
     scan (identical shapes — one compile total), and params stay on device
-    between chunks. Returns (adapted params, all per-step losses)."""
+    between chunks. With optimizer="adam" the moment estimates are carried
+    ACROSS chunks (maml.adam_scan_carry), so the chunked run is step-exact
+    with a single long scan. Returns (adapted params, all per-step
+    losses)."""
     import numpy as np
 
-    fn = _get_adapt_fn(baseline, symbol_id, many=False)
     lr_arr = jnp.float32(lr)
     losses_out = []
     done = 0
+    if optimizer == "adam":
+        from fscl_tpu.systems.maml import adam_carry, adam_scan_carry
+        cache = baseline.__dict__.setdefault("_adapt_jit_cache", {})
+        key = (symbol_id, "adam-chunk")
+        fn = cache.get(key)
+        if fn is None:
+            def chunk_fn(carry, bs, b, lr):
+                loss_fn = _make_task_loss_fn(baseline, bs, symbol_id)
+                return adam_scan_carry(loss_fn, carry, b, lr)
+
+            fn = cache[key] = jax.jit(chunk_fn)
+        carry = adam_carry(params)
+        while done < n_steps:
+            n = min(chunk, n_steps - done)
+            stacked = stack_batches([next(batch_iter) for _ in range(n)])
+            carry, losses = fn(carry, batch_stats, stacked, lr_arr)
+            losses_out.append(np.asarray(losses))
+            done += n
+        return carry[0], np.concatenate(losses_out)
+
+    fn = _get_adapt_fn(baseline, symbol_id, many=False, optimizer=optimizer)
     while done < n_steps:
         n = min(chunk, n_steps - done)
         batches = [next(batch_iter) for _ in range(n)]
@@ -195,6 +225,7 @@ def adapt_many_on_chip(
     task_batches: List[List[Batch]],
     lr: float = 1e-3,
     symbol_id: Optional[str] = None,
+    optimizer: str = "sgd",
 ):
     """Adapt N independent few-shot tasks IN PARALLEL on one chip: vmap the
     on-chip adaptation scan over a task axis, so each task carries its own
@@ -208,7 +239,7 @@ def adapt_many_on_chip(
     Returns (adapted params stacked on a leading task axis,
     losses of shape (n_tasks, n_steps))."""
     stacked = stack_tasks(task_batches)
-    fn = _get_adapt_fn(baseline, symbol_id, many=True)
+    fn = _get_adapt_fn(baseline, symbol_id, many=True, optimizer=optimizer)
     return fn(params, batch_stats, stacked, jnp.float32(lr))
 
 

@@ -255,3 +255,102 @@ def test_adapt_chunked_matches_single_scan():
                     jax.tree_util.tree_leaves(p_chk)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_adam_scan_matches_optax_reference():
+    """maml.fast_adaptation_scan_adam == optax clip(1.0)+adam applied
+    step by step (the reference tune optimizer, lightning/optimizer.py)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from fscl_tpu.systems.maml import fast_adaptation_scan_adam
+
+    rng = np.random.default_rng(0)
+    params = {"w": jnp.asarray(rng.normal(size=(5, 3)), jnp.float32),
+              "b": jnp.asarray(rng.normal(size=(3,)), jnp.float32)}
+    xs = jnp.asarray(rng.normal(size=(7, 8, 5)), jnp.float32)
+    ys = jnp.asarray(rng.normal(size=(7, 8, 3)), jnp.float32)
+
+    def loss_fn(p, batch):
+        x, y = batch
+        return jnp.mean((x @ p["w"] + p["b"] - y) ** 2)
+
+    lr, betas, eps = 1e-2, (0.9, 0.98), 1e-9
+    adapted, losses = fast_adaptation_scan_adam(
+        loss_fn, params, (xs, ys), lr=lr, betas=betas, eps=eps, clip=1.0)
+
+    tx = optax.chain(
+        optax.clip_by_global_norm(1.0),
+        optax.scale_by_adam(b1=betas[0], b2=betas[1], eps=eps,
+                            eps_root=0.0),
+        optax.scale(-lr))
+    p = params
+    opt_state = tx.init(p)
+    ref_losses = []
+    for i in range(7):
+        l, g = jax.value_and_grad(loss_fn)(p, (xs[i], ys[i]))
+        updates, opt_state = tx.update(g, opt_state, p)
+        p = optax.apply_updates(p, updates)
+        ref_losses.append(float(l))
+    np.testing.assert_allclose(np.asarray(losses), ref_losses,
+                               rtol=1e-5, atol=1e-6)
+    for k in params:
+        np.testing.assert_allclose(np.asarray(adapted[k]),
+                                   np.asarray(p[k]), rtol=1e-5, atol=1e-6)
+
+
+def test_chunked_adam_equals_single_scan():
+    """adapt_on_chip_chunked(optimizer='adam') carries the moments across
+    chunks: 3 chunks of 4 == one 12-step scan, step-exact."""
+    import jax
+    import numpy as np
+
+    from fscl_tpu.core.config import (
+        ModelConfig, OptimConfig, SpeakerConfig, TransformerConfig,
+    )
+    from fscl_tpu.data.batch import Batch
+    from fscl_tpu.systems.baseline import BaselineSystem
+    from fscl_tpu.systems.tune import adapt_on_chip, adapt_on_chip_chunked
+
+    cfg = ModelConfig(
+        transformer=TransformerConfig(
+            encoder_layer=1, decoder_layer=1, encoder_hidden=32,
+            decoder_hidden=32, conv_filter_size=32, encoder_head=2,
+            decoder_head=2, encoder_dropout=0.0, decoder_dropout=0.0),
+        max_seq_len=32, speaker=SpeakerConfig(n_speakers=2))
+    system = BaselineSystem(cfg, OptimConfig(), (("en", 12),))
+    rng = np.random.default_rng(1)
+
+    def mk():
+        B, L, T = 2, 6, 18
+        dur = np.full((B, L), 3, np.int32)
+        return Batch(
+            speaker_args=np.zeros(B, np.int32),
+            texts=rng.integers(1, 12, (B, L)).astype(np.int32),
+            src_lens=np.full((B,), L, np.int32),
+            mels=rng.normal(size=(B, T, 80)).astype(np.float32),
+            mel_lens=np.full((B,), T, np.int32),
+            pitches=np.zeros((B, L), np.float32),
+            energies=np.zeros((B, L), np.float32),
+            durations=dur, lang_ids=np.zeros(B, np.int32))
+
+    batches = [mk() for _ in range(12)]
+    state = system.init_state(jax.random.PRNGKey(0), batches[0])
+
+    p_single, l_single = adapt_on_chip(
+        system, state.params, state.batch_stats, batches, lr=1e-3,
+        optimizer="adam")
+    p_chunk, l_chunk = adapt_on_chip_chunked(
+        system, state.params, state.batch_stats, iter(batches), 12,
+        chunk=4, lr=1e-3, optimizer="adam")
+    np.testing.assert_allclose(np.asarray(l_single), np.asarray(l_chunk),
+                               rtol=1e-5, atol=1e-6)
+    flat_s = jax.tree_util.tree_leaves(p_single)
+    flat_c = jax.tree_util.tree_leaves(p_chunk)
+    for a, b in zip(flat_s, flat_c):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-6)
+    # adam actually adapts on this fixture
+    assert float(np.asarray(l_single)[-1]) < float(np.asarray(l_single)[0])
