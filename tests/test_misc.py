@@ -121,3 +121,35 @@ def test_phase_timer():
         sum(range(1000))
     report = timer.report()
     assert "work" in report
+
+
+def test_collate_variance_level_explicit_not_inferred():
+    """ADVICE r2: a frame-level batch where every sample's frame count
+    equals its phoneme count (all durations == 1) must still pad
+    pitch/energy to the MEL bucket when the config says frame_level —
+    length inference alone cannot distinguish this case."""
+    from fscl_tpu.data.batch import collate_batch
+
+    rng = np.random.default_rng(0)
+    samples = []
+    for i in range(2):
+        L = 5  # durations all 1 -> T == L
+        samples.append(dict(
+            id=f"u{i}", phonemes=rng.integers(1, 9, L),
+            mel=rng.normal(size=(L, 80)).astype(np.float32),
+            pitch=rng.normal(size=L).astype(np.float32),   # frame-level!
+            energy=rng.normal(size=L).astype(np.float32),
+            duration=np.ones(L, np.int64), speaker=0, lang_id=0))
+    text_buckets, mel_buckets = (8,), (16,)
+    _, inferred = collate_batch(samples, text_buckets, mel_buckets)
+    # inference sees len(pitch) == len(phonemes) and wrongly picks L
+    assert inferred.pitches.shape[1] == 8
+    _, explicit = collate_batch(
+        samples, text_buckets, mel_buckets,
+        pitch_feature="frame_level", energy_feature="frame_level")
+    assert explicit.pitches.shape[1] == 16   # mel bucket
+    assert explicit.energies.shape[1] == 16
+    _, phoneme = collate_batch(
+        samples, text_buckets, mel_buckets,
+        pitch_feature="phoneme_level", energy_feature="phoneme_level")
+    assert phoneme.pitches.shape[1] == 8     # text bucket
