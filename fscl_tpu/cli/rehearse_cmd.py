@@ -56,6 +56,12 @@ class _Phases:
         return _Ctx()
 
 
+def _var_kw(model_cfg) -> dict:
+    v = model_cfg.variance
+    return {"pitch_feature": v.pitch_feature,
+            "energy_feature": v.energy_feature}
+
+
 def _preset_cfg(preset: str):
     import dataclasses
 
@@ -96,15 +102,19 @@ def run(args):
         FeatureStore, read_queries_from_txt,
     )
     from fscl_tpu.data.scripts import make_synthetic_corpus
-    from fscl_tpu.eval.metrics import (
-        fer_over_infos, mel_cepstral_distortion, per_over_infos,
-    )
+    from fscl_tpu.eval.metrics import fer_over_infos, mel_cepstral_distortion
     from fscl_tpu.eval.task_generation import TaskGenerator
     from fscl_tpu.frontend import LANG_ID2SYMBOLS
     from fscl_tpu.systems.baseline import BaselineSystem
     from fscl_tpu.systems.fscl import Episode, TransEmbSystem
     from fscl_tpu.systems.tune import adapt_on_chip_chunked, tune_init
 
+    if args.data_config and not args.target:
+        raise SystemExit(
+            "rehearse: --data_config (meta-train corpora) requires "
+            "--target (held-out target-language data config)")
+    if args.episodes < 1:
+        raise SystemExit("rehearse: --episodes must be >= 1")
     os.makedirs(args.exp_dir, exist_ok=True)
     phases = _Phases()
     model_cfg = _preset_cfg(args.preset)
@@ -154,7 +164,10 @@ def run(args):
                         flat.append(d[i])
                         break
                     i -= len(d)
-            return collate_episode(flat, args.shots, args.queries)
+            return collate_episode(
+                flat, args.shots, args.queries,
+                var_kw={"pitch_feature": model_cfg.variance.pitch_feature,
+                        "energy_feature": model_cfg.variance.energy_feature})
 
         it = sampler.infinite()
         ep0 = episode_at(next(it))
@@ -202,7 +215,8 @@ def run(args):
         task_ds = FastSpeech2Dataset(
             os.path.join(task_dir, "train.txt"), target_store, task_cfg,
             model_cfg)
-        _, example = collate_batch([task_ds[i] for i in range(len(task_ds))])
+        _, example = collate_batch(
+            [task_ds[i] for i in range(len(task_ds))], **_var_kw(model_cfg))
         b_state = baseline.init_state(jax.random.PRNGKey(1), example)
         # the meta-train loop donated its state each step, which deleted
         # the buffers self.upstream_params pointed at — rebind to the live
@@ -222,7 +236,8 @@ def run(args):
             n = len(task_ds)
             while True:
                 idxs = rng.choice(n, size=min(args.shots, n), replace=False)
-                yield collate_batch([task_ds[int(i)] for i in idxs])[1]
+                yield collate_batch([task_ds[int(i)] for i in idxs],
+                                    **_var_kw(model_cfg))[1]
 
         adapted, losses = adapt_on_chip_chunked(
             baseline, b_state.params, b_state.batch_stats, batch_iter(),
@@ -237,7 +252,7 @@ def run(args):
         os.path.join(task_dir, "val.txt"), target_store, task_cfg, model_cfg)
     with phases("synthesis"):
         _, qry_batch = collate_batch(
-            [qry_ds[i] for i in range(len(qry_ds))])
+            [qry_ds[i] for i in range(len(qry_ds))], **_var_kw(model_cfg))
         out = baseline.synthesize_bucketed(
             adapted, b_state.batch_stats, qry_batch.texts,
             qry_batch.src_lens, qry_batch.speaker_args, qry_batch.lang_ids)
@@ -245,9 +260,14 @@ def run(args):
         synth_mel_lens = np.asarray(out.mel_len)
         frames = int(synth_mel_lens.sum())
         report["synth_frames"] = frames
-        if args.write_wavs:
-            # mel -> audio via Griffin-Lim (no external vocoder checkpoint
-            # needed; audio_out/vocoder.py fallback)
+    report["synth_frames_per_s"] = frames / phases.times["synthesis"]
+
+    if args.write_wavs:
+        # mel -> audio via Griffin-Lim (no external vocoder checkpoint
+        # needed; audio_out/vocoder.py fallback). Its own phase: the
+        # iterative host-side loop must not pollute the synthesis
+        # throughput number above.
+        with phases("vocode"):
             from fscl_tpu.audio_out.vocoder import griffin_lim
             from fscl_tpu.dsp.audio_io import save_wav
             wav_dir = os.path.join(args.exp_dir, "wavs")
@@ -257,7 +277,6 @@ def run(args):
                 wav = np.asarray(griffin_lim(synth_mels[i][:n]))
                 save_wav(os.path.join(wav_dir, f"{i:04d}.wav"), wav, 22050)
             report["wav_dir"] = wav_dir
-    report["synth_frames_per_s"] = frames / phases.times["synthesis"]
 
     # ---- 7. eval ----------------------------------------------------------
     with phases("eval"):
@@ -273,22 +292,30 @@ def run(args):
         report["mcd_teacher_forced"] = float(np.mean(mcds))
 
         # duration quality as frame-level FER/PER through the real eval
-        # harness: gt = MFA segments, pred = predicted-duration segments
+        # harness: gt = MFA segments, pred = PREDICTED-duration segments.
+        # The teacher-forced forward's duration_rounded IS the ground
+        # truth (d_targets path, nn/variance_adaptor.py) — the model's own
+        # prediction lives in log_duration_prediction: round(exp(x) - 1).
+        pred_durs = np.maximum(
+            np.round(np.exp(np.asarray(tf.log_duration_prediction)) - 1.0),
+            0.0)
         fp = 256 / 22050
         infos = []
         for i, q in enumerate(qry_queries[: len(qry_ds)]):
             phns = target_store.phoneme.read_from_query(q).strip()
             gt_seg = target_store.mfa_segment.read_from_query(q)
             L = int(qry_batch.src_lens[i])
-            pred_dur = np.asarray(tf.duration_rounded[i][:L], np.float64)
+            pred_dur = pred_durs[i][:L].astype(np.float64)
             t, pred_seg = 0.0, []
             for d in pred_dur:
                 pred_seg.append([t, t + float(d) * fp])
                 t += float(d) * fp
+            # gt and pred share the phoneme string on purpose: this isolates
+            # DURATION quality (frame-level FER of predicted vs MFA
+            # segments); a PER over identical strings would be vacuous
             infos.append({"gt": phns, "pred": phns,
                           "gt_segment": gt_seg, "pred_segment": pred_seg})
         report["duration_fer"] = fer_over_infos(infos)
-        report["per"] = per_over_infos(infos)
 
     report["phase_seconds"] = {k: phases.times[k] for k in phases.order}
     report["total_seconds"] = sum(phases.times.values())
@@ -308,7 +335,6 @@ def run(args):
           f"({report['adapt_steps_per_s']:.1f} steps/s)")
     print(f"  synthesis {report['synth_frames_per_s']:.0f} mel-frames/s")
     print(f"  MCD(tf) {report['mcd_teacher_forced']:.3f}  "
-          f"duration-FER {report['duration_fer']:.3f}  "
-          f"PER {report['per']:.3f}")
+          f"duration-FER {report['duration_fer']:.3f}")
     print(f"  report: {out_path}")
     return 0

@@ -95,7 +95,9 @@ def run(args):
                 idxs = rng.integers(0, len(dataset), bs)
                 _, batch = collate_batch(
                     [dataset[int(i)] for i in idxs],
-                    dvec_slices=dvec_slices)
+                    dvec_slices=dvec_slices,
+                    pitch_feature=model_cfg.variance.pitch_feature,
+                    energy_feature=model_cfg.variance.energy_feature)
                 yield batch
         example = next(batches())
     elif args.system in ("fscl", "fscl-orig"):

@@ -84,7 +84,7 @@ class T2U2SDataModule(BaseDataModule):
             samples = [ds[int(i)] for i in rng.integers(0, len(ds), bs)]
             t2u = _collate_t2u(samples)
             u2s_samples = [self._u2s_sample(dc, s) for s in samples]
-            _, u2s = collate_batch(u2s_samples)
+            _, u2s = collate_batch(u2s_samples, **self._var_kw)
             yield E2EBatch(t2u=t2u, u2s=u2s)
 
 
@@ -183,7 +183,7 @@ class T2U2SDADataModule(T2U2SDataModule):
             real = [ds[int(i)] for i in rng.integers(0, len(ds), bs)]
             t2u = _collate_t2u(samples)
             u2s_samples = [self._u2s_sample(dc, s) for s in samples]
-            _, u2s = collate_batch(u2s_samples)
+            _, u2s = collate_batch(u2s_samples, **self._var_kw)
             TU = t2u.units.shape[1]
             yield DAE2EBatch(
                 t2u=t2u, u2s=u2s,

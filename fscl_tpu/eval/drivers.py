@@ -141,14 +141,19 @@ def evaluate_pl_filter(
     accounting (activated/n_frames, matched/n_frames).
 
     `symbol_*2unify` map reference phonemes / predicted class indices (as
-    strings) into one shared inventory; identity when omitted."""
+    strings) into one shared inventory. When a map is provided it is
+    STRICT, like the reference's `symbol_ref2unify[x1]` indexing: an
+    unmapped symbol skips the whole utterance (counted in n_skipped), it
+    does not silently compare raw-vs-unified names. Identity when
+    omitted."""
     from fscl_tpu.eval.metrics import expand, segment2duration
 
     unit_store = store.get_ssl_unit_store(unit_name)
     mat_feature = getattr(unit_store, matrix)
     queries = queries if queries is not None else store.load_metadata()
-    ref2unify = symbol_ref2unify or {}
-    pred2unify = symbol_pred2unify or {}
+
+    def _map(m, key):
+        return m[key] if m is not None else key
 
     correct: List[int] = []
     values: List[float] = []
@@ -162,10 +167,13 @@ def evaluate_pl_filter(
             assert mat.shape[0] <= len(ref_seq)
             pred_seq = np.argmax(1.0 - mat, axis=1)
             pred_value = np.max(1.0 - mat, axis=1)
-            for x1, x2 in zip(ref_seq, pred_seq):
-                a = ref2unify.get(x1, x1)
-                b = pred2unify.get(str(x2), str(x2))
-                correct.append(1 if a == b else 0)
+            # compute the whole utterance before extending the global
+            # accumulators, so a mid-utterance KeyError skips it atomically
+            utt_correct = [
+                1 if _map(symbol_ref2unify, x1)
+                == _map(symbol_pred2unify, str(x2)) else 0
+                for x1, x2 in zip(ref_seq, pred_seq)]
+            correct.extend(utt_correct)
             values.extend(pred_value[: len(ref_seq)].tolist())
         except Exception:
             n_skipped += 1

@@ -103,13 +103,13 @@ def segmentation_boundary_metrics(
     """Boundary precision/recall/F1 at +-tolerance seconds
     (compare_unit.py:109-119 seg_evaluator role — the reference reports
     recall of its SegmentationEvaluator over mfa_segment vs ssl_units
-    segment). A ground-truth boundary counts as recalled if ANY predicted
+    segment). A ground-truth boundary counts as recalled if a predicted
     boundary lies within the tolerance; each predicted boundary can match
-    at most one reference boundary (greedy in time order)."""
+    at most one reference boundary (each reference boundary greedily
+    takes its nearest unused prediction)."""
     gt = sorted({round(float(t), 6) for seg in gt_segments for t in seg})
     pred = sorted({round(float(t), 6) for seg in pred_segments for t in seg})
     matched = 0
-    j = 0
     used = [False] * len(pred)
     for t in gt:
         best, best_d = -1, tolerance + 1e-9

@@ -135,7 +135,7 @@ _PINYIN = {
     "选": "xuan", "包": "bao", "紧": "jin", "争": "zheng", "另": "ling",
     "建": "jian", "维": "wei", "绝": "jue", "树": "shu", "系": "xi",
     "伤": "shang", "示": "shi", "愿": "yuan", "持": "chi", "千": "qian",
-    "史": "shi", "斗": "dou", "终": "zhong", "香": "xiang", "段": "duan",
+    "史": "shi", "斗": "dou", "段": "duan", "响": "xiang",
     "买": "mai", "卖": "mai", "商": "shang", "店": "dian", "八": "ba",
     "九": "jiu", "六": "liu", "七": "qi", "二": "er", "零": "ling",
     "笔": "bi", "试": "shi", "考": "kao", "姐": "jie", "哥": "ge",

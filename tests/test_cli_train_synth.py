@@ -185,6 +185,7 @@ def test_cli_rehearse_full_chain(tmp_path):
     assert report["adapt_last_loss"] < report["adapt_first_loss"]
     assert report["synth_frames"] > 0
     assert 0.0 <= report["duration_fer"] <= 1.0
+    assert "per" not in report   # vacuous over identical phoneme strings
     # the generated task dir is a real few-shot task bundle
     task_dir = exp / "few_shot_tasks" / "4-shot" / "task-0"
     assert (task_dir / "train.txt").is_file()
