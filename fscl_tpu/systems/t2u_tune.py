@@ -105,7 +105,14 @@ class E2EBatch(NamedTuple):
 @SYSTEMS.register("fscl-t2u-e2e-tune", "fscl-t2u-orig-e2e-tune",
                   "fscl-t2u-c-e2e-tune", "fscl-t2u-c2-e2e-tune")
 class E2ETuneSystem(TacoT2USystem):
-    """T2U fine-tuning chained through a FROZEN u2s BaselineSystem."""
+    """T2U fine-tuning chained through a FROZEN u2s BaselineSystem.
+
+    The C/C2 keys intentionally share this class: the FINE-TUNING math of
+    all e2e variants is identical; what differs between TransEmbE2ETune
+    and TransEmbC/C2's tune flows is how the tune-time embedding table is
+    generated, and that lives in `t2u_build_reference_table`, which
+    dispatches on the META system passed to it (frame_features/post_table
+    — Downstream2 for C, Downstream1+codebook for C2)."""
 
     def __init__(self, model_cfg: ModelConfig, optim_cfg: OptimConfig,
                  id2symbols: Tuple[Tuple[str, int], ...], t2u_cfg: T2UConfig,
