@@ -120,6 +120,94 @@ def batched_pr_logits(system, params, samples, symbol_id, n_symbols,
     return out
 
 
+def run_trans_head_eval(
+    system,                      # TransHeadPRSystem (init_upstream done)
+    params,
+    task_root: str,              # .../<N>-shot directory of task-<i> dirs
+    output_dir: str,
+    use_dpdp: bool = True,
+    lam: float = 0.0,
+    batch_size: int = 4,
+) -> List[str]:
+    """TransHead few-shot transcription over every task dir: generate the
+    classification head from each task's WHOLE support split (streamed,
+    frame-count-weighted single-stage queries), then transcribe the query
+    split with batched jitted logits. Returns the dumped json paths."""
+    import jax
+    import jax.numpy as jnp
+
+    out_paths = []
+    for task_dir in sorted(glob.glob(os.path.join(task_root, "task-*"))):
+        dc = read_data_config(os.path.join(task_dir, "config.yaml"))
+        store = FeatureStore(dc.data_dir)
+        id2symbol = {i: s.lstrip("@") for i, s in
+                     enumerate(LANG_ID2SYMBOLS[dc.symbol_id])}
+        n_symbols = len(LANG_ID2SYMBOLS[dc.symbol_id])
+
+        sup_ds = PRDataset(os.path.join(task_dir, "train.txt"), store, dc)
+        qry_ds = PRDataset(os.path.join(task_dir, "val.txt"), store, dc)
+
+        # stream the support split: per-symbol frame-weighted query sums
+        q_sums = q_counts = None
+        for start in range(0, len(sup_ds), batch_size):
+            samples = [sup_ds[i]
+                       for i in range(start, min(start + batch_size,
+                                                 len(sup_ds)))]
+            batch = _pr_batch_from_samples(samples, dc.symbol_id, n_symbols)
+            queries = np.asarray(
+                system.support_frame_queries(batch))  # (1, S, n_layers, d)
+            counts = np.zeros(n_symbols)
+            for s in samples:
+                for p, d in zip(s["phonemes"], s["avg_frames"]):
+                    if d > 0:
+                        counts[int(p)] += d
+            w = queries[0] * counts[:, None, None]
+            q_sums = w if q_sums is None else q_sums + w
+            q_counts = counts if q_counts is None else q_counts + counts
+        queries = (q_sums / np.maximum(q_counts, 1.0)[:, None, None])[None]
+        head, _ = system.head_from_queries(params, jnp.asarray(queries))
+
+        # batched jitted query logits against the generated head
+        fn = system.__dict__.get("_eval_head_logits_jit")
+        if fn is None:
+            from fscl_tpu.systems.pr import PRBatch as _PRB
+
+            def head_logits(p, hw, wavs, wav_lens, up):
+                hidden, frame_valid = system.extract_ssl(wavs, wav_lens, up)
+                x = system.downstream.apply(
+                    {"params": p["downstream"]}, hidden, frame_valid)
+                return (jnp.einsum("btd,sd->bts", x, hw,
+                                   preferred_element_type=jnp.float32)
+                        + p["trans_head_bias"][0])
+
+            fn = system.__dict__["_eval_head_logits_jit"] = jax.jit(
+                head_logits)
+
+        qry_samples = [qry_ds[i] for i in range(len(qry_ds))]
+        order = sorted(range(len(qry_samples)),
+                       key=lambda i: len(qry_samples[i]["wav"]))
+        all_logits = [None] * len(qry_samples)
+        for start in range(0, len(order), batch_size):
+            idx = order[start:start + batch_size]
+            group = [qry_samples[i] for i in idx]
+            while len(group) < batch_size:
+                group.append(group[0])
+            batch = _pr_batch_from_samples(group, dc.symbol_id, n_symbols)
+            logits = np.asarray(fn(params, head, batch.wavs, batch.wav_lens,
+                                   system.upstream_params))
+            for k, i in enumerate(idx):
+                n_frames = int(np.sum(qry_samples[i]["avg_frames"]))
+                all_logits[i] = logits[k, :n_frames]
+        by_id = {id(s): lg for s, lg in zip(qry_samples, all_logits)}
+
+        infos = evaluate_pr_task(
+            lambda sample: by_id[id(sample)], qry_samples,
+            id2symbol, use_dpdp=use_dpdp, lam=lam)
+        out_paths.append(dump_task_results(
+            infos, output_dir, os.path.basename(task_dir)))
+    return out_paths
+
+
 def run_protonet_eval(
     system,                      # SSLProtoNetSystem (init_upstream done)
     params,

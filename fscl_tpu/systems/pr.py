@@ -239,15 +239,25 @@ class TransHeadPRSystem(_SSLPRBase):
                            "trans_head_bias": jnp.zeros((1,))},
                 "frozen": {"upstream": self.upstream_params}}
 
+    def support_frame_queries(self, sup: PRBatch, upstream_params=None):
+        """Raw-SSL single-stage phoneme queries for a support batch:
+        (1, n_symbols, n_layers, dim) frame means (no downstream). Exposed
+        separately so offline evaluation can stream many support batches
+        (frame-count-weighted accumulation) before generating the head."""
+        hidden, _ = self.extract_ssl(sup.wavs, sup.wav_lens, upstream_params)
+        return frame_phoneme_query_extract(
+            hidden, sup.avg_frames, sup.phonemes, sup.n_symbols)
+
+    def head_from_queries(self, params, queries, need_weights: bool = False):
+        return self.head_generator.apply(
+            {"params": params["head_generator"]}, queries, need_weights)
+
     def build_head_weights(self, params, sup: PRBatch, upstream_params=None,
                            need_weights: bool = False):
         """(TransHead.build_head_weights, TransHead.py:53-64): raw SSL
         reprs (no downstream) -> single-stage phoneme queries -> codebook."""
-        hidden, _ = self.extract_ssl(sup.wavs, sup.wav_lens, upstream_params)
-        queries = frame_phoneme_query_extract(
-            hidden, sup.avg_frames, sup.phonemes, sup.n_symbols)
-        return self.head_generator.apply(
-            {"params": params["head_generator"]}, queries, need_weights)
+        queries = self.support_frame_queries(sup, upstream_params)
+        return self.head_from_queries(params, queries, need_weights)
 
     def logits(self, params, episode: PREpisode, upstream_params=None):
         head_weights, _ = self.build_head_weights(
