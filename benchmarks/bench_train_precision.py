@@ -69,7 +69,12 @@ def measure(compute_dtype: str, B=16, L=128, T=512, iters=30):
 def main():
     import jax
     jax.config.update("jax_compilation_cache_dir", "/tmp/fscl_tpu_jax_cache")
-    for dtype in ("float32", "bfloat16"):
+    # an argv dtype measures ONE configuration (one fresh process per
+    # config is the only trustworthy protocol on the tunneled chip —
+    # BASELINE.md measurement pitfalls); no argv = both in-process
+    dtypes = (sys.argv[1:] if len(sys.argv) > 1
+              else ("float32", "bfloat16"))
+    for dtype in dtypes:
         r = measure(dtype)
         print(json.dumps(r), flush=True)
 
