@@ -124,6 +124,17 @@ def main(argv=None):
     c.add_argument("data_dir")
     c.add_argument("--output", default=None)
 
+    pk = sub.add_parser(
+        "pack", help="write packed training shards for a data config's "
+                     "splits (single-file native batch reads)")
+    pk.add_argument("--data_config", required=True)
+    pk.add_argument("--model_config", default=None)
+    pk.add_argument("--splits", default="train")
+    pk.add_argument("--stats", default=None,
+                    help="global stats json for pitch/energy normalization "
+                         "(default: built-in global stats, matching the "
+                         "training datamodule)")
+
     r = sub.add_parser(
         "rehearse",
         help="full-experiment rehearsal: corpus -> meta-train -> task "
@@ -169,6 +180,8 @@ def main(argv=None):
         from fscl_tpu.cli.clean_cmd import run
     elif args.command == "rehearse":
         from fscl_tpu.cli.rehearse_cmd import run
+    elif args.command == "pack":
+        from fscl_tpu.cli.pack_cmd import run
     else:
         parser.error(f"unknown command {args.command}")
     return run(args)

@@ -116,19 +116,31 @@ class FastSpeech2DataModule(BaseDataModule):
         self.val_set = ConcatDataset(val) if val else None
         # native C++ batch reads for the single-corpus case (monolingual
         # training + the tune flows): one ctypes call per (batch, feature)
-        # instead of per-sample np.loads (data/native_loader.py)
+        # instead of per-sample np.loads (data/native_loader.py). A packed
+        # shard next to the split (`<train.txt>.shard`, data/shards.py —
+        # written by `fscl_tpu pack`) is preferred: one file, one native
+        # call per batch.
         self._native = None
+        self._shard = None
         if self.native_io and self.dvec_slices is None and \
                 len(self.train_set.datasets) == 1:
-            from fscl_tpu.data.native_loader import (
-                NativeCollate, native_available,
-            )
-            if native_available():
-                ds = self.train_set.datasets[0]
-                self._native = NativeCollate(
-                    ds.store, ds.config, self.model_cfg, ds.stats,
-                    id_offset=ds.id_offset,
-                    speaker_offset=ds.speaker_offset)
+            ds = self.train_set.datasets[0]
+            dc = self.data_configs[0]
+            shard_path = (dc.subset_path("train") or "") + ".shard"
+            if os.path.isfile(shard_path):
+                from fscl_tpu.data.shards import PackedShard
+                self._shard = PackedShard(shard_path)
+                if len(self._shard) != len(ds):
+                    self._shard = None   # stale shard: fall through
+            if self._shard is None:
+                from fscl_tpu.data.native_loader import (
+                    NativeCollate, native_available,
+                )
+                if native_available():
+                    self._native = NativeCollate(
+                        ds.store, ds.config, self.model_cfg, ds.stats,
+                        id_offset=ds.id_offset,
+                        speaker_offset=ds.speaker_offset)
 
     def train_batches(self) -> Iterator[Batch]:
         """Infinite epochs of length-grouped batches (GroupBatchSampler,
@@ -147,7 +159,9 @@ class FastSpeech2DataModule(BaseDataModule):
             sampler = maybe_distribute(GroupBatchSampler(
                 lengths, bs, seed=self.train_cfg.seed + epoch))
             for idxs in sampler:
-                if self._native is not None:
+                if self._shard is not None:
+                    _, batch = self._shard.collate(idxs, **self._var_kw)
+                elif self._native is not None:
                     ds = self.train_set.datasets[0]
                     _, batch = self._native.collate(
                         [ds.queries[int(i)] for i in idxs])

@@ -156,3 +156,41 @@ def cpp_npy_pad_2d_f32(paths: List[str], n_rows: int, n_cols: int,
             lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
     _check(rc, paths)
     return out, lens
+
+
+def cpp_shard_pad_batch(path: str, data_offset: int, recs, L: int, T: int,
+                        var_lens: dict, n_mels: int = 80) -> dict:
+    """Assemble a padded batch from a packed shard (data/shards.py format)
+    in ONE native call: B x 5 reads from a single file descriptor.
+    `recs` are the shard index records of the batch."""
+    lib = _load("libfsclshard.so")
+    fn = lib.shard_pad_batch
+    fn.restype = ctypes.c_int64
+    B = len(recs)
+    order = ("phonemes", "mel", "pitch", "energy", "duration")
+    offs = np.zeros((B, 5), np.int64)
+    rows = np.zeros((B, 5), np.int64)
+    for b, rec in enumerate(recs):
+        for j, name in enumerate(order):
+            off, shape, _ = rec["offsets"][name]
+            offs[b, j] = off
+            rows[b, j] = shape[0] if shape else 1
+    pl, el = var_lens["pitch"], var_lens["energy"]
+    texts = np.zeros((B, L), np.int32)
+    mel = np.zeros((B, T, n_mels), np.float32)
+    pitch = np.zeros((B, pl), np.float32)
+    energy = np.zeros((B, el), np.float32)
+    dur = np.zeros((B, L), np.int32)
+    rc = fn(path.encode(), ctypes.c_int64(data_offset), ctypes.c_int64(B),
+            offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            rows.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            ctypes.c_int64(L), ctypes.c_int64(T), ctypes.c_int64(pl),
+            ctypes.c_int64(el), ctypes.c_int64(n_mels),
+            texts.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            mel.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            pitch.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            energy.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            dur.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    _check(rc, [path])
+    return {"phonemes": texts, "mel": mel, "pitch": pitch,
+            "energy": energy, "duration": dur}

@@ -1,0 +1,135 @@
+"""Packed training shards: format roundtrip, exact batch equality with the
+reference collate (native + numpy fallback paths), datamodule wiring, and
+the pack CLI."""
+import numpy as np
+import pytest
+
+from fscl_tpu.data.batch import collate_batch
+from fscl_tpu.data.shards import PackedShard, write_packed_split
+
+
+def _samples(rng, n=6):
+    out = []
+    for i in range(n):
+        L = int(rng.integers(4, 9))
+        dur = rng.integers(1, 4, L).astype(np.int64)
+        T = int(dur.sum())
+        out.append(dict(
+            id=f"u{i}", text="x",
+            phonemes=rng.integers(1, 30, L).astype(np.int64),
+            mel=rng.normal(size=(T, 80)).astype(np.float32),
+            pitch=rng.normal(size=L).astype(np.float32),
+            energy=rng.normal(size=L).astype(np.float32),
+            duration=dur, speaker=int(i % 2), lang_id=3))
+    return out
+
+
+def test_packed_shard_matches_collate_batch(tmp_path):
+    rng = np.random.default_rng(0)
+    samples = _samples(rng)
+    path = str(tmp_path / "train.txt.shard")
+    write_packed_split(samples, path)
+    shard = PackedShard(path)
+    assert len(shard) == len(samples)
+    assert shard.lengths() == [len(s["phonemes"]) for s in samples]
+
+    idxs = [3, 0, 5]
+    _, want = collate_batch([samples[i] for i in idxs])
+    _, got = shard.collate(idxs)
+    for name in ("speaker_args", "texts", "src_lens", "mels", "mel_lens",
+                 "pitches", "energies", "durations", "lang_ids"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(got, name)), np.asarray(getattr(want, name)),
+            err_msg=name)
+
+    # numpy fallback reads the identical batch
+    shard_np = PackedShard(path)
+    shard_np._native = None
+    _, got_np = shard_np.collate(idxs)
+    for name in ("texts", "mels", "pitches", "energies", "durations"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(got_np, name)),
+            np.asarray(getattr(got, name)), err_msg=name)
+
+
+def test_packed_shard_frame_level_padding(tmp_path):
+    """frame_level variance targets pad to the mel bucket (the shard path
+    honours the same explicit level contract as collate_batch)."""
+    rng = np.random.default_rng(1)
+    samples = _samples(rng, n=3)
+    for s in samples:   # frame-level pitch/energy have mel length
+        T = len(s["mel"])
+        s["pitch"] = rng.normal(size=T).astype(np.float32)
+        s["energy"] = rng.normal(size=T).astype(np.float32)
+    path = str(tmp_path / "s.shard")
+    write_packed_split(samples, path)
+    shard = PackedShard(path)
+    _, got = shard.collate([0, 1, 2], pitch_feature="frame_level",
+                           energy_feature="frame_level")
+    assert got.pitches.shape == got.mels.shape[:2]
+    assert got.energies.shape == got.mels.shape[:2]
+    _, want = collate_batch(samples, pitch_feature="frame_level",
+                            energy_feature="frame_level")
+    np.testing.assert_array_equal(got.pitches, want.pitches)
+
+
+def test_pack_cli_and_datamodule_pickup(tmp_path):
+    """`fscl_tpu pack` writes the shard and FastSpeech2DataModule prefers
+    it; batches equal the python path."""
+    import jax
+
+    from fscl_tpu.cli.__main__ import main
+    from fscl_tpu.core.config import (
+        ModelConfig, TrainConfig, read_data_config,
+    )
+    from fscl_tpu.data.datamodules import FastSpeech2DataModule
+    from fscl_tpu.data.scripts import make_synthetic_corpus
+
+    cfg_path = make_synthetic_corpus(str(tmp_path / "corpus"), n_utts=8,
+                                     seed=5)
+    rc = main(["pack", "--data_config", cfg_path])
+    assert rc == 0
+    dc = read_data_config(cfg_path)
+    import os
+    shard_path = dc.subset_path("train") + ".shard"
+    assert os.path.isfile(shard_path)
+
+    model_cfg = ModelConfig()
+    dm = FastSpeech2DataModule([dc], model_cfg, TrainConfig(), re_id=False)
+    dm.setup()
+    assert dm._shard is not None
+    batch = next(dm.train_batches())
+    assert np.isfinite(batch.mels).all()
+    assert 0 < batch.texts.shape[0] <= TrainConfig().optim.batch_size
+
+    # equality against the pure-python datamodule path on a fixed batch
+    dm_py = FastSpeech2DataModule([dc], model_cfg, TrainConfig(),
+                                  re_id=False, native_io=False)
+    dm_py.setup()
+    ds = dm_py.train_set.datasets[0]
+    idxs = list(range(4))
+    _, want = collate_batch([ds[i] for i in idxs], **dm_py._var_kw)
+    _, got = dm._shard.collate(idxs, **dm._var_kw)
+    for name in ("texts", "mels", "pitches", "energies", "durations",
+                 "speaker_args", "lang_ids"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(got, name)), np.asarray(getattr(want, name)),
+            err_msg=name)
+
+
+def test_stale_shard_rejected(tmp_path):
+    """A shard whose record count mismatches the split is ignored."""
+    from fscl_tpu.core.config import ModelConfig, TrainConfig, read_data_config
+    from fscl_tpu.data.datamodules import FastSpeech2DataModule
+    from fscl_tpu.data.scripts import make_synthetic_corpus
+
+    cfg_path = make_synthetic_corpus(str(tmp_path / "corpus"), n_utts=8,
+                                     seed=6)
+    dc = read_data_config(cfg_path)
+    rng = np.random.default_rng(2)
+    write_packed_split(_samples(rng, n=2),
+                       dc.subset_path("train") + ".shard")
+    dm = FastSpeech2DataModule([dc], ModelConfig(), TrainConfig(),
+                               re_id=False)
+    dm.setup()
+    assert dm._shard is None   # stale -> fell back
