@@ -231,13 +231,21 @@ def run(args):
     # ---- 5. adapt ---------------------------------------------------------
     with phases("adapt"):
         rng = np.random.default_rng(0)
+        # pack the task's train split: the 20k-step chunked scan is host-
+        # batch-generation-bound (BASELINE.md round 2); the packed shard's
+        # single-call native reads remove most of that
+        from fscl_tpu.data.shards import PackedShard, pack_split_from_store
+        shard_path = os.path.join(task_dir, "train.txt.shard")
+        pack_split_from_store(
+            os.path.join(task_dir, "train.txt"), target_store, task_cfg,
+            model_cfg, shard_path)
+        shard = PackedShard(shard_path)
 
         def batch_iter():
-            n = len(task_ds)
+            n = len(shard)
             while True:
                 idxs = rng.choice(n, size=min(args.shots, n), replace=False)
-                yield collate_batch([task_ds[int(i)] for i in idxs],
-                                    **_var_kw(model_cfg))[1]
+                yield shard.collate(idxs, **_var_kw(model_cfg))[1]
 
         adapted, losses = adapt_on_chip_chunked(
             baseline, b_state.params, b_state.batch_stats, batch_iter(),
