@@ -83,3 +83,27 @@ int64_t shard_pad_batch(const char* path, int64_t data_offset, int64_t B,
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// Generic padded 1-D batch read: B arrays of 4-byte elements at
+// payload-relative offs with rows[i] elements each, into out[B, maxlen]
+// (zero-initialised by the caller). Returns 0 or 1 + failing index.
+int64_t shard_pad_rows(const char* path, int64_t data_offset, int64_t B,
+                       const int64_t* offs, const int64_t* rows,
+                       int64_t maxlen, void* out) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return 1;
+  char* dst = reinterpret_cast<char*>(out);
+  for (int64_t b = 0; b < B; ++b) {
+    int64_t n = rows[b] < maxlen ? rows[b] : maxlen;
+    if (!read_at(f, data_offset + offs[b], dst + b * maxlen * 4, n, 4)) {
+      fclose(f);
+      return b + 1;
+    }
+  }
+  fclose(f);
+  return 0;
+}
+
+}  // extern "C"

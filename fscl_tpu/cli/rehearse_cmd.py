@@ -97,7 +97,7 @@ def run(args):
     from fscl_tpu.core.config import TrainConfig, OptimConfig, read_data_config
     from fscl_tpu.data.batch import collate_batch
     from fscl_tpu.data.datasets import FSCLDataset, FastSpeech2Dataset
-    from fscl_tpu.data.episodic import EpisodicSampler, collate_episode
+    from fscl_tpu.data.episodic import EpisodicSampler
     from fscl_tpu.data.feature_store import (
         FeatureStore, read_queries_from_txt,
     )
@@ -147,27 +147,34 @@ def run(args):
     # ---- 2. meta-train ----------------------------------------------------
     fscl = TransEmbSystem(model_cfg, optim, n_symbols)
     with phases("meta-train"):
-        datasets = [
-            FSCLDataset(dc.subset_path("train"), FeatureStore(dc.data_dir),
-                        dc, model_cfg, upstream=model_cfg.upstream.name)
-            for dc in meta_cfgs]
+        # pack an FSCL shard per meta corpus: episode assembly becomes
+        # native single-file reads (wavs dominate the host side)
+        from fscl_tpu.data.shards import (
+            PackedShard, pack_fscl_split_from_store,
+        )
+        shards = []
+        for dc in meta_cfgs:
+            split = dc.subset_path("train")
+            sp = split + ".fscl.shard"
+            if not os.path.isfile(sp):
+                pack_fscl_split_from_store(
+                    split, FeatureStore(dc.data_dir), dc, model_cfg, sp,
+                    upstream=model_cfg.upstream.name)
+            shards.append(PackedShard(sp))
         labels = []
-        for d, dc in zip(datasets, meta_cfgs):
-            labels.extend([dc.lang_id] * len(d))
+        for sh, dc in zip(shards, meta_cfgs):
+            labels.extend([dc.lang_id] * len(sh))
         sampler = EpisodicSampler(labels, args.shots, args.queries, seed=43)
+        starts = np.cumsum([0] + [len(sh) for sh in shards])
 
         def episode_at(idxs):
-            flat = []
-            for i in idxs:
-                for d in datasets:
-                    if i < len(d):
-                        flat.append(d[i])
-                        break
-                    i -= len(d)
-            return collate_episode(
-                flat, args.shots, args.queries,
-                var_kw={"pitch_feature": model_cfg.variance.pitch_feature,
-                        "energy_feature": model_cfg.variance.energy_feature})
+            # label-grouped episodes come from ONE corpus
+            c = int(np.searchsorted(starts, min(idxs), side="right") - 1)
+            local = [int(i) - int(starts[c]) for i in idxs]
+            return shards[c].collate_episode(
+                local, args.shots, args.queries,
+                pitch_feature=model_cfg.variance.pitch_feature,
+                energy_feature=model_cfg.variance.energy_feature)
 
         it = sampler.infinite()
         ep0 = episode_at(next(it))

@@ -36,19 +36,29 @@ PACK_DTYPES = {
 }
 
 
+# FSCL episodic shards additionally pack the raw SSL input + alignment
+FSCL_PACK_DTYPES = dict(PACK_DTYPES, raw_feat=np.float32,
+                        avg_frames=np.int32)
+
+
 def write_packed_split(
-    samples: Sequence[dict],         # dicts with keys of PACK_DTYPES (+id)
+    samples: Sequence[dict],         # dicts with keys of `features` (+id)
     path: str,
+    features: Optional[Dict[str, type]] = None,
+    meta: Optional[Dict] = None,
 ) -> int:
     """Pack samples into one shard file; returns the byte size. Sample
     arrays are converted to the canonical dtypes; `mel` is stored (T, 80)
-    C-order regardless of the source layout."""
+    C-order regardless of the source layout. `features` defaults to the
+    supervised-TTS set (PACK_DTYPES); pass FSCL_PACK_DTYPES for episodic
+    shards. `meta` is stored verbatim in the index (e.g. n_symbols)."""
+    features = features or PACK_DTYPES
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     records = []
     payload = bytearray()
     for s in samples:
         offsets = {}
-        for name, dtype in PACK_DTYPES.items():
+        for name, dtype in features.items():
             arr = np.ascontiguousarray(np.asarray(s[name], dtype))
             offsets[name] = [len(payload), list(arr.shape),
                              np.dtype(dtype).str]
@@ -59,7 +69,11 @@ def write_packed_split(
             "lang_id": int(s.get("lang_id", 0)),
             "offsets": offsets,
         })
-    index = json.dumps({"records": records}).encode()
+    index = json.dumps({
+        "records": records,
+        "features": {k: np.dtype(v).str for k, v in features.items()},
+        "meta": meta or {},
+    }).encode()
     with open(path, "wb") as f:
         f.write(MAGIC)
         f.write(struct.pack("<Q", len(index)))
@@ -89,6 +103,11 @@ class PackedShard:
             self._native = cpp_shard_pad_batch
         except Exception:
             self._native = None
+        try:
+            from fscl_tpu.dsp.cpp_bindings import cpp_shard_pad_rows
+            self._native_rows = cpp_shard_pad_rows
+        except Exception:
+            self._native_rows = None
 
     def __len__(self) -> int:
         return len(self.records)
@@ -187,3 +206,101 @@ def pack_split_from_store(
         id_offset=id_offset, speaker_offset=speaker_offset)
     samples = [ds[i] for i in range(len(ds))]
     return write_packed_split(samples, path)
+
+
+def pack_fscl_split_from_store(
+    split_txt: str,
+    store,
+    config,
+    model_cfg,
+    path: str,
+    stats=None,
+    upstream: str = "hubert_large_ll60k",
+) -> int:
+    """Pack an FSCL split (TTS features + raw 16 kHz wav + avg_frames) for
+    shard-backed meta-episode sampling (`PackedShard.collate_episode`)."""
+    from fscl_tpu.core.stats import DEFAULT_STATS
+    from fscl_tpu.data.datasets import FSCLDataset
+
+    ds = FSCLDataset(
+        split_txt, store, config, model_cfg,
+        stats=stats if stats is not None else DEFAULT_STATS,
+        upstream=upstream)
+    samples = [ds[i] for i in range(len(ds))]
+    meta = {"n_symbols": int(samples[0]["n_symbols"]),
+            "lang_id": int(config.lang_id)} if samples else {}
+    return write_packed_split(samples, path, features=FSCL_PACK_DTYPES,
+                              meta=meta)
+
+
+def _episode_methods():
+    """Attach episodic collation to PackedShard (kept out of the class body
+    so the supervised reader stays dependency-light)."""
+
+    def small(self, rec, name):
+        return self._read_numpy(rec, name)
+
+    def collate_episode(self, idxs, shots: int, queries: int,
+                        pitch_feature: str = "phoneme_level",
+                        energy_feature: str = "phoneme_level"):
+        """Shard-backed FSCL episode: coverage split on the (small)
+        phoneme arrays, SupInfo wavs via native 1-D batch reads, query TTS
+        batch via the packed batch path. Returns systems.fscl.Episode."""
+        from fscl_tpu.data.batch import (
+            SupInfo, TEXT_BUCKETS, bucket_len, pad_1d,
+        )
+        from fscl_tpu.data.episodic import WAV_BUCKETS, split_sup_qry
+        from fscl_tpu.systems.fscl import Episode
+
+        assert "raw_feat" in self.index.get("features", {}), (
+            "not an FSCL shard (pack with pack_fscl_split_from_store)")
+        recs = [self.records[int(i)] for i in idxs]
+        phonemes = [self._read_numpy(r, "phonemes") for r in recs]
+        avg_frames = [self._read_numpy(r, "avg_frames") for r in recs]
+        samples = [{"phonemes": p} for p in phonemes]
+        sup_ids, qry_ids = split_sup_qry(samples, shots, queries)
+
+        n_symbols = int(self.index.get("meta", {}).get("n_symbols", 0))
+        sup_recs = [recs[i] for i in sup_ids]
+        wav_lens = np.array(
+            [r["offsets"]["raw_feat"][1][0] for r in sup_recs], np.int32)
+        W = bucket_len(int(wav_lens.max()), WAV_BUCKETS)
+        wavs = self._read_rows(sup_recs, "raw_feat", W, np.float32)
+        L = bucket_len(max(len(phonemes[i]) for i in sup_ids),
+                       TEXT_BUCKETS)
+        sup = SupInfo(
+            wavs=wavs,
+            wav_lens=np.minimum(wav_lens, W),
+            avg_frames=pad_1d([avg_frames[i] for i in sup_ids], L,
+                              dtype=np.int32),
+            phonemes=pad_1d([phonemes[i] for i in sup_ids], L,
+                            dtype=np.int32),
+            n_symbols=n_symbols)
+        _, qry = self.collate([int(idxs[i]) for i in qry_ids],
+                              pitch_feature=pitch_feature,
+                              energy_feature=energy_feature)
+        return Episode(sup=sup, qry=qry, sup_batch=None)
+
+    def _read_rows(self, recs, name, maxlen, dtype):
+        """B 1-D arrays -> zero-padded (B, maxlen); native single-call
+        read when available."""
+        B = len(recs)
+        out = np.zeros((B, maxlen), dtype)
+        if self._native_rows is not None:
+            offs = np.array([r["offsets"][name][0] for r in recs], np.int64)
+            rows = np.array([r["offsets"][name][1][0] for r in recs],
+                            np.int64)
+            self._native_rows(self.path, self.data_offset, offs, rows,
+                              maxlen, out)
+        else:
+            for b, r in enumerate(recs):
+                arr = self._read_numpy(r, name)
+                n = min(len(arr), maxlen)
+                out[b, :n] = arr[:n]
+        return out
+
+    PackedShard.collate_episode = collate_episode
+    PackedShard._read_rows = _read_rows
+
+
+_episode_methods()

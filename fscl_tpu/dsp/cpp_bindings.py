@@ -194,3 +194,23 @@ def cpp_shard_pad_batch(path: str, data_offset: int, recs, L: int, T: int,
     _check(rc, [path])
     return {"phonemes": texts, "mel": mel, "pitch": pitch,
             "energy": energy, "duration": dur}
+
+
+def cpp_shard_pad_rows(path: str, data_offset: int, offs: np.ndarray,
+                       rows: np.ndarray, maxlen: int,
+                       out: np.ndarray) -> None:
+    """B 1-D 4-byte-element arrays from a packed shard into the
+    caller-allocated zero-initialised out[B, maxlen]."""
+    lib = _load("libfsclshard.so")
+    fn = lib.shard_pad_rows
+    fn.restype = ctypes.c_int64
+    offs = np.ascontiguousarray(offs, np.int64)
+    rows = np.ascontiguousarray(rows, np.int64)
+    assert out.flags["C_CONTIGUOUS"] and out.itemsize == 4
+    rc = fn(path.encode(), ctypes.c_int64(data_offset),
+            ctypes.c_int64(len(offs)),
+            offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            rows.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            ctypes.c_int64(maxlen),
+            out.ctypes.data_as(ctypes.c_void_p))
+    _check(rc, [path])

@@ -133,3 +133,50 @@ def test_stale_shard_rejected(tmp_path):
                                re_id=False)
     dm.setup()
     assert dm._shard is None   # stale -> fell back
+
+
+def test_fscl_episode_shard(tmp_path):
+    """FSCL episodic shards: coverage split + SupInfo + query batch equal
+    the collate_episode path on the same samples."""
+    import jax
+
+    from fscl_tpu.core.config import ModelConfig, read_data_config
+    from fscl_tpu.data.datasets import FSCLDataset
+    from fscl_tpu.data.episodic import collate_episode
+    from fscl_tpu.data.feature_store import FeatureStore
+    from fscl_tpu.data.scripts import make_synthetic_corpus
+    from fscl_tpu.data.shards import PackedShard, pack_fscl_split_from_store
+
+    cfg_path = make_synthetic_corpus(str(tmp_path / "corpus"), n_utts=10,
+                                     seed=9)
+    dc = read_data_config(cfg_path)
+    model_cfg = ModelConfig()
+    store = FeatureStore(dc.data_dir)
+    split = dc.subset_path("train")
+    shard_path = split + ".fscl.shard"
+    pack_fscl_split_from_store(split, store, dc, model_cfg, shard_path)
+    shard = PackedShard(shard_path)
+
+    ds = FSCLDataset(split, store, dc, model_cfg)
+    idxs = list(range(6))
+    want = collate_episode([ds[i] for i in idxs], shots=4, queries=2,
+                           bucket=True)
+    got = shard.collate_episode(idxs, shots=4, queries=2)
+
+    assert got.sup.n_symbols == want.sup.n_symbols
+    np.testing.assert_array_equal(got.sup.phonemes, want.sup.phonemes)
+    np.testing.assert_array_equal(got.sup.avg_frames, want.sup.avg_frames)
+    np.testing.assert_array_equal(got.sup.wav_lens, want.sup.wav_lens)
+    # same wav content (bucket may differ only if max lens differ — same
+    # samples, same buckets)
+    np.testing.assert_array_equal(got.sup.wavs, want.sup.wavs)
+    np.testing.assert_array_equal(got.qry.texts, want.qry.texts)
+    np.testing.assert_array_equal(got.qry.mels, want.qry.mels)
+    np.testing.assert_array_equal(got.qry.durations, want.qry.durations)
+
+    # numpy fallback agrees with the native rows reader
+    shard_np = PackedShard(shard_path)
+    shard_np._native = None
+    shard_np._native_rows = None
+    got_np = shard_np.collate_episode(idxs, shots=4, queries=2)
+    np.testing.assert_array_equal(got_np.sup.wavs, got.sup.wavs)
