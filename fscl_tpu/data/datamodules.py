@@ -122,25 +122,47 @@ class FastSpeech2DataModule(BaseDataModule):
         # call per batch.
         self._native = None
         self._shard = None
-        if self.native_io and self.dvec_slices is None and \
+        if self.native_io and self.dvec_slices is None:
+            # packed shards: single corpus uses the shard directly; the
+            # multi-corpus joint case stitches per-corpus shards with
+            # collate-time re-id offsets (data/shards.py MultiShardCollate)
+            from fscl_tpu.data.shards import MultiShardCollate, PackedShard
+            shards = []
+            for ds in self.train_set.datasets:
+                sp = None
+                for dc in self.data_configs:
+                    if dc.name == ds.config.name:
+                        sp = (dc.subset_path("train") or "") + ".shard"
+                        break
+                if sp and os.path.isfile(sp):
+                    sh = PackedShard(sp)
+                    if len(sh) == len(ds):
+                        shards.append(sh)
+                        continue
+                shards = None
+                break
+            if shards:
+                ds0 = self.train_set.datasets[0]
+                if len(shards) == 1 and ds0.id_offset == 0 and \
+                        ds0.speaker_offset == 0:
+                    self._shard = shards[0]
+                else:
+                    self._shard = MultiShardCollate(
+                        shards,
+                        [d.id_offset for d in self.train_set.datasets],
+                        [d.speaker_offset for d in self.train_set.datasets])
+        if self._shard is None and self.native_io and \
+                self.dvec_slices is None and \
                 len(self.train_set.datasets) == 1:
             ds = self.train_set.datasets[0]
-            dc = self.data_configs[0]
-            shard_path = (dc.subset_path("train") or "") + ".shard"
-            if os.path.isfile(shard_path):
-                from fscl_tpu.data.shards import PackedShard
-                self._shard = PackedShard(shard_path)
-                if len(self._shard) != len(ds):
-                    self._shard = None   # stale shard: fall through
-            if self._shard is None:
-                from fscl_tpu.data.native_loader import (
-                    NativeCollate, native_available,
-                )
-                if native_available():
-                    self._native = NativeCollate(
-                        ds.store, ds.config, self.model_cfg, ds.stats,
-                        id_offset=ds.id_offset,
-                        speaker_offset=ds.speaker_offset)
+            from fscl_tpu.data.native_loader import (
+                NativeCollate, native_available,
+            )
+            if native_available():
+                self._native = NativeCollate(
+                    ds.store, ds.config, self.model_cfg, ds.stats,
+                    id_offset=ds.id_offset,
+                    speaker_offset=ds.speaker_offset)
 
     def train_batches(self) -> Iterator[Batch]:
         """Infinite epochs of length-grouped batches (GroupBatchSampler,

@@ -132,9 +132,17 @@ class PackedShard:
         mel_buckets=None,
         pitch_feature: str = "phoneme_level",
         energy_feature: str = "phoneme_level",
+        L: Optional[int] = None,
+        T: Optional[int] = None,
+        id_offset: int = 0,
+        speaker_offset: int = 0,
     ):
         """Batch of records -> (BatchMeta, Batch) with bucketed static
-        shapes — same contract as data.batch.collate_batch."""
+        shapes — same contract as data.batch.collate_batch. `L`/`T`
+        override the buckets (multi-shard stitching); `id_offset`/
+        `speaker_offset` re-id into the concatenated multilingual table
+        space at collate time (FSCLCollate re_id semantics), so shards
+        pack RAW per-language ids and stay layout-independent."""
         from fscl_tpu.data.batch import (
             Batch, BatchMeta, MEL_BUCKETS, TEXT_BUCKETS, bucket_len,
         )
@@ -145,8 +153,10 @@ class PackedShard:
                             np.int32)
         mel_lens = np.array([r["offsets"]["mel"][1][0] for r in recs],
                             np.int32)
-        L = bucket_len(int(src_lens.max()), text_buckets)
-        T = bucket_len(int(mel_lens.max()), mel_buckets)
+        if L is None:
+            L = bucket_len(int(src_lens.max()), text_buckets)
+        if T is None:
+            T = bucket_len(int(mel_lens.max()), mel_buckets)
         B = len(recs)
 
         var_lens = {
@@ -169,9 +179,15 @@ class PackedShard:
                     arr = self._read_numpy(rec, name)
                     n = min(len(arr), out.shape[1])
                     out[b, :n] = arr[:n]
+        texts = arrays["phonemes"]
+        if id_offset:
+            # real ids are >= 1; padded slots stay 0
+            texts = np.where(texts != 0, texts + id_offset, 0).astype(
+                np.int32)
         batch = Batch(
-            speaker_args=np.array([r["speaker"] for r in recs], np.int32),
-            texts=arrays["phonemes"],
+            speaker_args=np.array(
+                [r["speaker"] + speaker_offset for r in recs], np.int32),
+            texts=texts,
             src_lens=np.minimum(src_lens, L),
             mels=arrays["mel"],
             mel_lens=np.minimum(mel_lens, T),
@@ -304,3 +320,79 @@ def _episode_methods():
 
 
 _episode_methods()
+
+
+class MultiShardCollate:
+    """Joint-training batches over SEVERAL per-corpus shards (the 4-language
+    joint config): each shard packs raw per-language ids; re-id offsets and
+    speaker offsets apply at collate. A batch may span corpora — each
+    shard's slice is native-read at the batch's joint (L, T) and rows are
+    stitched back in order."""
+
+    def __init__(self, shards: Sequence[PackedShard],
+                 id_offsets: Sequence[int], speaker_offsets: Sequence[int]):
+        self.shards = list(shards)
+        self.id_offsets = list(id_offsets)
+        self.speaker_offsets = list(speaker_offsets)
+        self.starts = np.cumsum([0] + [len(s) for s in self.shards])
+
+    def __len__(self) -> int:
+        return int(self.starts[-1])
+
+    def lengths(self) -> List[int]:
+        out: List[int] = []
+        for s in self.shards:
+            out.extend(s.lengths())
+        return out
+
+    def locate(self, i: int):
+        c = int(np.searchsorted(self.starts, i, side="right") - 1)
+        return c, int(i) - int(self.starts[c])
+
+    def collate(self, idxs: Sequence[int],
+                pitch_feature: str = "phoneme_level",
+                energy_feature: str = "phoneme_level"):
+        from fscl_tpu.data.batch import (
+            MEL_BUCKETS, TEXT_BUCKETS, bucket_len,
+        )
+        located = [self.locate(int(i)) for i in idxs]
+        # joint buckets over the whole batch
+        max_l = max_t = 1
+        for c, j in located:
+            rec = self.shards[c].records[j]
+            max_l = max(max_l, rec["offsets"]["phonemes"][1][0])
+            max_t = max(max_t, rec["offsets"]["mel"][1][0])
+        L = bucket_len(max_l, TEXT_BUCKETS)
+        T = bucket_len(max_t, MEL_BUCKETS)
+
+        # group per shard, read each group at the joint (L, T), stitch
+        per_shard: Dict[int, List[int]] = {}
+        for pos, (c, j) in enumerate(located):
+            per_shard.setdefault(c, []).append(pos)
+        metas, parts = {}, {}
+        for c, positions in per_shard.items():
+            local = [located[p][1] for p in positions]
+            meta, part = self.shards[c].collate(
+                local, pitch_feature=pitch_feature,
+                energy_feature=energy_feature, L=L, T=T,
+                id_offset=self.id_offsets[c],
+                speaker_offset=self.speaker_offsets[c])
+            metas[c], parts[c] = meta, part
+
+        B = len(located)
+
+        def stitch(name):
+            leaves = [np.asarray(getattr(parts[c], name)) for c in parts]
+            out = np.zeros((B,) + leaves[0].shape[1:], leaves[0].dtype)
+            for c, positions in per_shard.items():
+                out[np.asarray(positions)] = np.asarray(
+                    getattr(parts[c], name))
+            return out
+
+        from fscl_tpu.data.batch import Batch, BatchMeta
+        batch = Batch(*[stitch(f) for f in Batch._fields])
+        ids = [""] * B
+        for c, positions in per_shard.items():
+            for k, p in enumerate(positions):
+                ids[p] = metas[c].ids[k]
+        return BatchMeta(ids=ids, raw_texts=[""] * B), batch

@@ -180,3 +180,49 @@ def test_fscl_episode_shard(tmp_path):
     shard_np._native_rows = None
     got_np = shard_np.collate_episode(idxs, shots=4, queries=2)
     np.testing.assert_array_equal(got_np.sup.wavs, got.sup.wavs)
+
+
+def test_multilingual_joint_training_shards(tmp_path):
+    """Multi-corpus joint training over per-corpus shards: collate-time
+    re-id offsets, joint buckets, stitched rows == the python path."""
+    from fscl_tpu.cli.__main__ import main
+    from fscl_tpu.core.config import ModelConfig, TrainConfig, read_data_config
+    from fscl_tpu.data.datamodules import FastSpeech2DataModule
+    from fscl_tpu.data.scripts import make_synthetic_corpus
+    from fscl_tpu.data.shards import MultiShardCollate
+
+    # two "languages" sharing the en symbol set (re-id offsets apply only
+    # when symbol sets differ, but speaker offsets always do)
+    cfgs = []
+    for i in range(2):
+        p = make_synthetic_corpus(
+            str(tmp_path / f"c{i}"), name=f"lang{i}", n_utts=8,
+            seed=10 + i, lang_id=i)
+        assert main(["pack", "--data_config", p]) == 0
+        cfgs.append(read_data_config(p))
+
+    model_cfg = ModelConfig()
+    dm = FastSpeech2DataModule(cfgs, model_cfg, TrainConfig(), re_id=True)
+    dm.setup()
+    assert isinstance(dm._shard, MultiShardCollate)
+    assert len(dm._shard) == sum(
+        len(d) for d in dm.train_set.datasets)
+
+    dm_py = FastSpeech2DataModule(cfgs, model_cfg, TrainConfig(),
+                                  re_id=True, native_io=False)
+    dm_py.setup()
+    # a batch spanning both corpora
+    n0 = len(dm_py.train_set.datasets[0])
+    idxs = [0, 1, n0, n0 + 1, 2, n0 + 2]
+    _, want = __import__("fscl_tpu.data.batch", fromlist=["collate_batch"]
+                         ).collate_batch(
+        [dm_py.train_set[i] for i in idxs], **dm_py._var_kw)
+    _, got = dm._shard.collate(idxs, **dm._var_kw)
+    for name in ("texts", "src_lens", "mels", "mel_lens", "pitches",
+                 "energies", "durations", "speaker_args", "lang_ids"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(got, name)), np.asarray(getattr(want, name)),
+            err_msg=name)
+    # speaker re-id really happened (corpus 1's speaker is offset by
+    # corpus 0's speaker count)
+    assert got.speaker_args[2] == dm_py.train_set.datasets[1].speaker_offset
