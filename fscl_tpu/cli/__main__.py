@@ -130,6 +130,10 @@ def main(argv=None):
     pk.add_argument("--data_config", required=True)
     pk.add_argument("--model_config", default=None)
     pk.add_argument("--splits", default="train")
+    pk.add_argument("--fscl", action="store_true",
+                    help="pack FSCL episodic shards (TTS features + raw "
+                         "16 kHz wavs + alignment) instead of supervised "
+                         "TTS shards")
     pk.add_argument("--stats", default=None,
                     help="global stats json for pitch/energy normalization "
                          "(default: built-in global stats, matching the "

@@ -11,7 +11,9 @@ def run(args):
         ModelConfig, model_config_from_yaml, read_data_config,
     )
     from fscl_tpu.data.feature_store import FeatureStore
-    from fscl_tpu.data.shards import pack_split_from_store
+    from fscl_tpu.data.shards import (
+        pack_fscl_split_from_store, pack_split_from_store,
+    )
 
     dc = read_data_config(args.data_config)
     model_cfg = (model_config_from_yaml(args.model_config)
@@ -29,8 +31,14 @@ def run(args):
         if not src or not os.path.isfile(src):
             print(f"[pack] split {split}: no txt, skipped")
             continue
-        out = src + ".shard"
-        n_bytes = pack_split_from_store(
-            src, store, dc, model_cfg, out, stats=stats)
+        if getattr(args, "fscl", False):
+            out = src + ".fscl.shard"
+            n_bytes = pack_fscl_split_from_store(
+                src, store, dc, model_cfg, out, stats=stats,
+                upstream=model_cfg.upstream.name)
+        else:
+            out = src + ".shard"
+            n_bytes = pack_split_from_store(
+                src, store, dc, model_cfg, out, stats=stats)
         print(f"[pack] {split}: {out} ({n_bytes / 1e6:.1f} MB)")
     return 0
