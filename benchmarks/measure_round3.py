@@ -79,9 +79,23 @@ def run_child(code_or_args, timeout=2400, as_code=True):
     try:
         proc = subprocess.run(cmd, capture_output=True, text=True,
                               timeout=timeout, cwd=REPO)
-        lines = [l for l in proc.stdout.strip().splitlines()
-                 if l.startswith("{")]
-        recs = [json.loads(l) for l in lines]
+        recs = []
+        for l in proc.stdout.strip().splitlines():
+            if l.startswith("{"):
+                try:
+                    recs.append(json.loads(l))
+                except json.JSONDecodeError:
+                    pass   # multi-line/pretty JSON handled below
+        if not recs:
+            # pretty-printed JSON (e.g. bench_adapt_stability's summary):
+            # parse from the first '{' to the end of stdout
+            text = proc.stdout
+            start = text.find("{")
+            if start >= 0:
+                try:
+                    recs.append(json.loads(text[start:]))
+                except json.JSONDecodeError:
+                    pass
         return {"ok": bool(recs), "records": recs,
                 "wall_s": round(time.time() - t0, 1),
                 "stderr_tail": proc.stderr[-400:] if not recs else ""}

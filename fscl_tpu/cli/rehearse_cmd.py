@@ -149,6 +149,7 @@ def run(args):
     with phases("meta-train"):
         # pack an FSCL shard per meta corpus: episode assembly becomes
         # native single-file reads (wavs dominate the host side)
+        from fscl_tpu.data.feature_store import read_queries_from_txt
         from fscl_tpu.data.shards import (
             PackedShard, pack_fscl_split_from_store,
         )
@@ -156,25 +157,41 @@ def run(args):
         for dc in meta_cfgs:
             split = dc.subset_path("train")
             sp = split + ".fscl.shard"
-            if not os.path.isfile(sp):
+            n_expected = len(read_queries_from_txt(split))
+            sh = PackedShard(sp) if os.path.isfile(sp) else None
+            if sh is None or len(sh) != n_expected:   # missing or stale
                 pack_fscl_split_from_store(
                     split, FeatureStore(dc.data_dir), dc, model_cfg, sp,
                     upstream=model_cfg.upstream.name)
-            shards.append(PackedShard(sp))
+                sh = PackedShard(sp)
+            shards.append(sh)
         labels = []
         for sh, dc in zip(shards, meta_cfgs):
             labels.extend([dc.lang_id] * len(sh))
         sampler = EpisodicSampler(labels, args.shots, args.queries, seed=43)
         starts = np.cumsum([0] + [len(sh) for sh in shards])
 
+        def locate(i):
+            c = int(np.searchsorted(starts, i, side="right") - 1)
+            return c, int(i) - int(starts[c])
+
         def episode_at(idxs):
-            # label-grouped episodes come from ONE corpus
-            c = int(np.searchsorted(starts, min(idxs), side="right") - 1)
-            local = [int(i) - int(starts[c]) for i in idxs]
-            return shards[c].collate_episode(
-                local, args.shots, args.queries,
-                pitch_feature=model_cfg.variance.pitch_feature,
-                energy_feature=model_cfg.variance.energy_feature)
+            located = [locate(int(i)) for i in idxs]
+            corpora = {c for c, _ in located}
+            if len(corpora) == 1:
+                c = corpora.pop()
+                return shards[c].collate_episode(
+                    [j for _, j in located], args.shots, args.queries,
+                    pitch_feature=model_cfg.variance.pitch_feature,
+                    energy_feature=model_cfg.variance.energy_feature)
+            # two corpora sharing a lang_id: the sampler's label pool
+            # spans shards — assemble sample dicts per shard and use the
+            # generic episode collate
+            from fscl_tpu.data.episodic import collate_episode
+            samples = [shards[c].sample(j) for c, j in located]
+            return collate_episode(
+                samples, args.shots, args.queries,
+                var_kw=_var_kw(model_cfg))
 
         it = sampler.infinite()
         ep0 = episode_at(next(it))

@@ -126,7 +126,9 @@ class FastSpeech2DataModule(BaseDataModule):
             # packed shards: single corpus uses the shard directly; the
             # multi-corpus joint case stitches per-corpus shards with
             # collate-time re-id offsets (data/shards.py MultiShardCollate)
-            from fscl_tpu.data.shards import MultiShardCollate, PackedShard
+            from fscl_tpu.data.shards import (
+                MultiShardCollate, PackedShard, shard_compatible,
+            )
             shards = []
             for ds in self.train_set.datasets:
                 sp = None
@@ -136,7 +138,10 @@ class FastSpeech2DataModule(BaseDataModule):
                         break
                 if sp and os.path.isfile(sp):
                     sh = PackedShard(sp)
-                    if len(sh) == len(ds):
+                    # stale (count mismatch) or packed under a different
+                    # variance/normalization config -> fall back
+                    if len(sh) == len(ds) and shard_compatible(
+                            sh, self.model_cfg, ds.stats):
                         shards.append(sh)
                         continue
                 shards = None

@@ -52,23 +52,30 @@ def write_packed_split(
     C-order regardless of the source layout. `features` defaults to the
     supervised-TTS set (PACK_DTYPES); pass FSCL_PACK_DTYPES for episodic
     shards. `meta` is stored verbatim in the index (e.g. n_symbols)."""
+    import shutil
+
     features = features or PACK_DTYPES
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    # stream the payload to a temp file so peak memory stays at ONE sample
+    # (samples may be a lazy generator over a multi-hour corpus)
+    tmp = path + ".payload.tmp"
     records = []
-    payload = bytearray()
-    for s in samples:
-        offsets = {}
-        for name, dtype in features.items():
-            arr = np.ascontiguousarray(np.asarray(s[name], dtype))
-            offsets[name] = [len(payload), list(arr.shape),
-                             np.dtype(dtype).str]
-            payload.extend(arr.tobytes())
-        records.append({
-            "key": s.get("id", ""),
-            "speaker": int(s.get("speaker", 0)),
-            "lang_id": int(s.get("lang_id", 0)),
-            "offsets": offsets,
-        })
+    pos = 0
+    with open(tmp, "wb") as pf:
+        for s in samples:
+            offsets = {}
+            for name, dtype in features.items():
+                arr = np.ascontiguousarray(np.asarray(s[name], dtype))
+                raw = arr.tobytes()
+                offsets[name] = [pos, list(arr.shape), np.dtype(dtype).str]
+                pf.write(raw)
+                pos += len(raw)
+            records.append({
+                "key": s.get("id", ""),
+                "speaker": int(s.get("speaker", 0)),
+                "lang_id": int(s.get("lang_id", 0)),
+                "offsets": offsets,
+            })
     index = json.dumps({
         "records": records,
         "features": {k: np.dtype(v).str for k, v in features.items()},
@@ -78,8 +85,10 @@ def write_packed_split(
         f.write(MAGIC)
         f.write(struct.pack("<Q", len(index)))
         f.write(index)
-        f.write(payload)
-    return len(MAGIC) + 8 + len(index) + len(payload)
+        with open(tmp, "rb") as pf:
+            shutil.copyfileobj(pf, f)
+    os.remove(tmp)
+    return len(MAGIC) + 8 + len(index) + pos
 
 
 class PackedShard:
@@ -98,15 +107,18 @@ class PackedShard:
         self.data_offset = 8 + 8 + index_len
         self.records = self.index["records"]
         self._native = None
+        # probe the ACTUAL dlopen (not just the python import) so a
+        # missing/broken libfsclshard.so falls back to numpy at setup
+        # instead of crashing on the first collate
         try:
-            from fscl_tpu.dsp.cpp_bindings import cpp_shard_pad_batch
+            from fscl_tpu.dsp.cpp_bindings import (
+                _load, cpp_shard_pad_batch, cpp_shard_pad_rows,
+            )
+            _load("libfsclshard.so")
             self._native = cpp_shard_pad_batch
-        except Exception:
-            self._native = None
-        try:
-            from fscl_tpu.dsp.cpp_bindings import cpp_shard_pad_rows
             self._native_rows = cpp_shard_pad_rows
         except Exception:
+            self._native = None
             self._native_rows = None
 
     def __len__(self) -> int:
@@ -216,12 +228,13 @@ def pack_split_from_store(
     from fscl_tpu.core.stats import DEFAULT_STATS
     from fscl_tpu.data.datasets import FastSpeech2Dataset
 
+    st = stats if stats is not None else DEFAULT_STATS
     ds = FastSpeech2Dataset(
         split_txt, store, config, model_cfg,
-        stats=stats if stats is not None else DEFAULT_STATS,
-        id_offset=id_offset, speaker_offset=speaker_offset)
-    samples = [ds[i] for i in range(len(ds))]
-    return write_packed_split(samples, path)
+        stats=st, id_offset=id_offset, speaker_offset=speaker_offset)
+    return write_packed_split(
+        (ds[i] for i in range(len(ds))), path,
+        meta=provenance_meta(model_cfg, st))
 
 
 def pack_fscl_split_from_store(
@@ -238,15 +251,21 @@ def pack_fscl_split_from_store(
     from fscl_tpu.core.stats import DEFAULT_STATS
     from fscl_tpu.data.datasets import FSCLDataset
 
+    if upstream == "mel":
+        raise ValueError(
+            "FSCL shards pack 1-D raw wavs; the mel-upstream variant "
+            "(2-D raw_feat) is not supported — use the dataset path")
+    st = stats if stats is not None else DEFAULT_STATS
     ds = FSCLDataset(
-        split_txt, store, config, model_cfg,
-        stats=stats if stats is not None else DEFAULT_STATS,
-        upstream=upstream)
-    samples = [ds[i] for i in range(len(ds))]
-    meta = {"n_symbols": int(samples[0]["n_symbols"]),
-            "lang_id": int(config.lang_id)} if samples else {}
-    return write_packed_split(samples, path, features=FSCL_PACK_DTYPES,
-                              meta=meta)
+        split_txt, store, config, model_cfg, stats=st, upstream=upstream)
+    if len(ds) == 0:
+        raise ValueError(f"empty split: {split_txt}")
+    meta = provenance_meta(model_cfg, st)
+    meta.update({"n_symbols": int(ds[0]["n_symbols"]),
+                 "lang_id": int(config.lang_id)})
+    return write_packed_split(
+        (ds[i] for i in range(len(ds))), path,
+        features=FSCL_PACK_DTYPES, meta=meta)
 
 
 def _episode_methods():
@@ -396,3 +415,72 @@ class MultiShardCollate:
             for k, p in enumerate(positions):
                 ids[p] = metas[c].ids[k]
         return BatchMeta(ids=ids, raw_texts=[""] * B), batch
+
+
+def provenance_meta(model_cfg, stats) -> Dict:
+    """Provenance recorded at pack time: the variance levels and
+    normalization constants the packed features were produced under, so a
+    shard packed for one configuration is never silently consumed by
+    another (shard_compatible)."""
+    v = model_cfg.variance
+    return {
+        "pitch_feature": v.pitch_feature,
+        "energy_feature": v.energy_feature,
+        "pitch_normalization": bool(v.pitch_normalization),
+        "energy_normalization": bool(v.energy_normalization),
+        "pitch_stats": [float(stats.pitch.mean), float(stats.pitch.std)],
+        "energy_stats": [float(stats.energy.mean), float(stats.energy.std)],
+    }
+
+
+def shard_compatible(shard: "PackedShard", model_cfg, stats) -> bool:
+    """A shard is usable for training only if its packed content matches
+    the model config's variance levels and the normalization stats —
+    otherwise pitch/energy targets would be silently misaligned."""
+    meta = shard.index.get("meta", {})
+    v = model_cfg.variance
+    if meta.get("pitch_feature") != v.pitch_feature:
+        return False
+    if meta.get("energy_feature") != v.energy_feature:
+        return False
+    if bool(meta.get("pitch_normalization")) != bool(v.pitch_normalization):
+        return False
+    if bool(meta.get("energy_normalization")) != bool(
+            v.energy_normalization):
+        return False
+
+    def close(pair, moments):
+        return (pair is not None and
+                abs(pair[0] - moments.mean) < 1e-6 and
+                abs(pair[1] - moments.std) < 1e-6)
+
+    if v.pitch_normalization and not close(meta.get("pitch_stats"),
+                                           stats.pitch):
+        return False
+    if v.energy_normalization and not close(meta.get("energy_stats"),
+                                            stats.energy):
+        return False
+    return True
+
+
+def _sample_method():
+    def sample(self, i: int) -> Dict:
+        """Full per-record sample dict (numpy reads) — the slow-path
+        equivalent of FastSpeech2Dataset/FSCLDataset __getitem__ for
+        consumers that need arbitrary per-sample access (e.g. episodes
+        spanning shards)."""
+        rec = self.records[int(i)]
+        out = {
+            "id": rec["key"],
+            "speaker": rec["speaker"],
+            "lang_id": rec["lang_id"],
+            "n_symbols": int(self.index.get("meta", {}).get("n_symbols", 0)),
+        }
+        for name in rec["offsets"]:
+            out[name] = self._read_numpy(rec, name)
+        return out
+
+    PackedShard.sample = sample
+
+
+_sample_method()

@@ -191,7 +191,9 @@ def cpp_shard_pad_batch(path: str, data_offset: int, recs, L: int, T: int,
             pitch.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
             energy.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
             dur.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
-    _check(rc, [path])
+    if rc:
+        raise IOError(
+            f"packed-shard batch read failed at record {rc - 1} in {path}")
     return {"phonemes": texts, "mel": mel, "pitch": pitch,
             "energy": energy, "duration": dur}
 
@@ -213,4 +215,6 @@ def cpp_shard_pad_rows(path: str, data_offset: int, offs: np.ndarray,
             rows.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
             ctypes.c_int64(maxlen),
             out.ctypes.data_as(ctypes.c_void_p))
-    _check(rc, [path])
+    if rc:
+        raise IOError(
+            f"packed-shard rows read failed at record {rc - 1} in {path}")

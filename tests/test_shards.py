@@ -226,3 +226,83 @@ def test_multilingual_joint_training_shards(tmp_path):
     # speaker re-id really happened (corpus 1's speaker is offset by
     # corpus 0's speaker count)
     assert got.speaker_args[2] == dm_py.train_set.datasets[1].speaker_offset
+
+
+def test_shard_compat_gating(tmp_path):
+    """A shard packed under a different variance config or stats is
+    rejected at datamodule setup (silent-misalignment guard)."""
+    import dataclasses
+
+    from fscl_tpu.cli.__main__ import main
+    from fscl_tpu.core.config import (
+        ModelConfig, TrainConfig, VarianceConfig, read_data_config,
+    )
+    from fscl_tpu.data.datamodules import FastSpeech2DataModule
+    from fscl_tpu.data.scripts import make_synthetic_corpus
+
+    cfg_path = make_synthetic_corpus(str(tmp_path / "c"), n_utts=8, seed=3)
+    assert main(["pack", "--data_config", cfg_path]) == 0  # phoneme_level
+    dc = read_data_config(cfg_path)
+
+    frame_cfg = dataclasses.replace(
+        ModelConfig(), variance=VarianceConfig(
+            pitch_feature="frame_level", energy_feature="frame_level"))
+    dm = FastSpeech2DataModule([dc], frame_cfg, TrainConfig(), re_id=False)
+    dm.setup()
+    assert dm._shard is None          # incompatible -> python/native path
+
+    dm_ok = FastSpeech2DataModule([dc], ModelConfig(), TrainConfig(),
+                                  re_id=False)
+    dm_ok.setup()
+    assert dm_ok._shard is not None   # matching config -> shard
+
+
+def test_shard_sample_and_cross_shard_episode(tmp_path):
+    """PackedShard.sample() returns full dicts; episodes spanning shards
+    (two corpora with one lang_id) collate through the generic path."""
+    from fscl_tpu.core.config import ModelConfig, read_data_config
+    from fscl_tpu.data.episodic import collate_episode
+    from fscl_tpu.data.feature_store import FeatureStore
+    from fscl_tpu.data.scripts import make_synthetic_corpus
+    from fscl_tpu.data.shards import PackedShard, pack_fscl_split_from_store
+
+    model_cfg = ModelConfig()
+    shards = []
+    for i in range(2):
+        p = make_synthetic_corpus(str(tmp_path / f"c{i}"), n_utts=8,
+                                  seed=20 + i, lang_id=0)
+        dc = read_data_config(p)
+        sp = dc.subset_path("train") + ".fscl.shard"
+        pack_fscl_split_from_store(
+            dc.subset_path("train"), FeatureStore(dc.data_dir), dc,
+            model_cfg, sp)
+        shards.append(PackedShard(sp))
+
+    s = shards[0].sample(0)
+    for key in ("phonemes", "mel", "pitch", "energy", "duration",
+                "raw_feat", "avg_frames", "n_symbols"):
+        assert key in s, key
+    assert s["n_symbols"] > 0
+
+    # 3 from shard 0 + 3 from shard 1 -> generic collate works
+    samples = [shards[0].sample(i) for i in range(3)] + \
+        [shards[1].sample(i) for i in range(3)]
+    ep = collate_episode(samples, shots=4, queries=2)
+    assert ep.sup.wavs.shape[0] == 4 and ep.qry.texts.shape[0] == 2
+    assert np.isfinite(ep.qry.mels).all()
+
+
+def test_fscl_shard_mel_upstream_rejected(tmp_path):
+    import dataclasses
+
+    from fscl_tpu.core.config import ModelConfig, UpstreamConfig, read_data_config
+    from fscl_tpu.data.feature_store import FeatureStore
+    from fscl_tpu.data.scripts import make_synthetic_corpus
+    from fscl_tpu.data.shards import pack_fscl_split_from_store
+
+    p = make_synthetic_corpus(str(tmp_path / "c"), n_utts=4, seed=4)
+    dc = read_data_config(p)
+    with pytest.raises(ValueError):
+        pack_fscl_split_from_store(
+            dc.subset_path("train"), FeatureStore(dc.data_dir), dc,
+            ModelConfig(), str(tmp_path / "x.shard"), upstream="mel")
