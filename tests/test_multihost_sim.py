@@ -35,7 +35,7 @@ def test_two_process_distributed_step():
     outs = []
     for p in procs:
         try:
-            out, _ = p.communicate(timeout=300)
+            out, _ = p.communicate(timeout=540)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
