@@ -118,10 +118,13 @@ def main():
     # (BASELINE.md "MEASUREMENT PITFALL"; adaptation read 47 steps/s after
     # the train bench in-process vs 425 standalone). A per-metric timeout
     # also keeps one wedged tunnel compile from sinking the whole bench.
+    # bf16 activation policy is the benched default since round 3: measured
+    # faster than f32 (65.1 vs 61.2 steps/s full-size) with a pinned
+    # loss-parity test (tests/test_precision_parity.py; VERDICT r2 #2).
     _emit_subprocess_metric(
         "fastspeech2_train_steps_per_sec_full_size", "steps/s",
         "from benchmarks.bench_train_precision import measure; import json; "
-        "r = measure('float32'); r['metric'] = "
+        "r = measure('bfloat16'); r['metric'] = "
         "'fastspeech2_train_steps_per_sec_full_size'; "
         "r['value'] = r.pop('steps_per_sec'); r['unit'] = 'steps/s'; "
         "print(json.dumps(r))")

@@ -22,11 +22,16 @@ sys.path.insert(0, {repo!r})
 import jax, jax.numpy as jnp
 x = jnp.ones((128,128)); f = jax.jit(lambda a: a@a)
 y = f(x); y.block_until_ready()
+# The tunnel's first device->host readback in a fresh process can take
+# minutes (lazy transfer-channel setup); do one untimed warm-up readback
+# so the timed probe measures the steady-state RTT.
+t0 = time.time(); _ = float(jnp.sum(y)); warm_s = time.time() - t0
 rtts = []
 for _ in range(3):
     t0 = time.time(); v = float(jnp.sum(y)); rtts.append(time.time()-t0)
 import json
-print(json.dumps({{"rtt_ms": sorted(rtts)[1]*1000}}))
+print(json.dumps({{"rtt_ms": sorted(rtts)[1]*1000,
+                   "first_readback_s": round(warm_s, 1)}}))
 """.format(repo=REPO)
 
 SYNTH = """
@@ -111,7 +116,7 @@ def main():
         out_path = sys.argv[sys.argv.index("--out") + 1]
     results = {"started": time.strftime("%Y-%m-%d %H:%M:%S")}
 
-    probe = run_child(PROBE, timeout=400)
+    probe = run_child(PROBE, timeout=900)
     results["tunnel_probe"] = probe
     rtt = (probe["records"][0]["rtt_ms"] if probe["ok"] else float("inf"))
     print(f"tunnel rtt: {rtt:.1f} ms", flush=True)
