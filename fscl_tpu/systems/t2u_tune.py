@@ -50,18 +50,22 @@ def t2u_build_reference_table(
     total_sums = total_counts = None
     n_symbols = fscl_t2u.n_symbols
 
+    # Upstream + system params are traced arguments, not closure captures:
+    # jit would otherwise bake the frozen SSL weights into the HLO as
+    # constants (tune.py:build_reference_table has the same contract).
     @jax.jit
-    def batch_sums(wavs, wav_lens, avg_frames, phonemes):
-        hidden, _ = fscl_t2u.extract_ssl(wavs, wav_lens)
+    def batch_sums(upstream_params, p, wavs, wav_lens, avg_frames, phonemes):
+        hidden, _ = fscl_t2u.extract_ssl(wavs, wav_lens, upstream_params)
         Tp = hidden.shape[1]
         frame_valid = length_mask(
             jnp.minimum(jnp.sum(avg_frames, -1), Tp), Tp)
-        x = fscl_t2u.frame_features(params, hidden, frame_valid)
+        x = fscl_t2u.frame_features(p, hidden, frame_valid)
         return phoneme_query_sums(
             x[:, :, None, :], avg_frames, phonemes, n_symbols)
 
     for sup in sup_batches:
         sums, counts = batch_sums(
+            fscl_t2u.upstream_params, params,
             jnp.asarray(sup.wavs), jnp.asarray(sup.wav_lens),
             jnp.asarray(sup.avg_frames), jnp.asarray(sup.phonemes))
         total_sums = sums if total_sums is None else total_sums + sums

@@ -51,13 +51,18 @@ def build_reference_table(
     total_counts = None
     n_symbols = fscl.n_symbols
 
+    # The upstream weights MUST be a traced argument, not a closure capture:
+    # jit would bake the ~300M frozen params into the HLO as constants
+    # (the same 448x-HLO trap fixed for meta-training via TrainState.frozen),
+    # which wedges compilation outright on a tunneled chip.
     @jax.jit
-    def batch_sums(wavs, wav_lens, avg_frames, phonemes):
-        hidden, _ = fscl.extract_ssl(wavs, wav_lens)
+    def batch_sums(upstream_params, wavs, wav_lens, avg_frames, phonemes):
+        hidden, _ = fscl.extract_ssl(wavs, wav_lens, upstream_params)
         return phoneme_query_sums(hidden, avg_frames, phonemes, n_symbols)
 
     for sup in sup_batches:
         sums, counts = batch_sums(
+            fscl.upstream_params,
             jnp.asarray(sup.wavs), jnp.asarray(sup.wav_lens),
             jnp.asarray(sup.avg_frames), jnp.asarray(sup.phonemes))
         total_sums = sums if total_sums is None else total_sums + sums
