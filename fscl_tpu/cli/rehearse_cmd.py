@@ -107,7 +107,7 @@ def run(args):
     from fscl_tpu.frontend import LANG_ID2SYMBOLS
     from fscl_tpu.systems.baseline import BaselineSystem
     from fscl_tpu.systems.fscl import Episode, TransEmbSystem
-    from fscl_tpu.systems.tune import adapt_on_chip_chunked, tune_init
+    from fscl_tpu.systems.tune import adapt_on_chip_resident, tune_init
 
     if args.data_config and not args.target:
         raise SystemExit(
@@ -254,7 +254,6 @@ def run(args):
 
     # ---- 5. adapt ---------------------------------------------------------
     with phases("adapt"):
-        rng = np.random.default_rng(0)
         # pack the task's train split: the 20k-step chunked scan is host-
         # batch-generation-bound (BASELINE.md round 2); the packed shard's
         # single-call native reads remove most of that
@@ -265,15 +264,16 @@ def run(args):
             model_cfg, shard_path)
         shard = PackedShard(shard_path)
 
-        def batch_iter():
-            n = len(shard)
-            while True:
-                idxs = rng.choice(n, size=min(args.shots, n), replace=False)
-                yield shard.collate(idxs, **_var_kw(model_cfg))[1]
-
-        adapted, losses = adapt_on_chip_chunked(
-            baseline, b_state.params, b_state.batch_stats, batch_iter(),
-            args.adapt_steps, chunk=min(500, args.adapt_steps),
+        # device-resident adaptation: the few-shot support split is
+        # uploaded ONCE and the 20k-step scan gathers each step's batch on
+        # device (tune.adapt_on_chip_resident) — the streamed chunked scan
+        # spent 386 of the rehearsal's 637 s re-uploading host batches
+        # (BASELINE.md round 3)
+        n = len(shard)
+        support_all = shard.collate(np.arange(n), **_var_kw(model_cfg))[1]
+        adapted, losses = adapt_on_chip_resident(
+            baseline, b_state.params, b_state.batch_stats, support_all,
+            args.adapt_steps, batch_size=min(args.shots, n),
             lr=args.adapt_lr)
         report["adapt_first_loss"] = float(np.asarray(losses)[0])
         report["adapt_last_loss"] = float(np.asarray(losses)[-1])

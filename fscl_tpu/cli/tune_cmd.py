@@ -74,12 +74,28 @@ def run(args):
         # round-trips; per-ft-step loss curve saved like the reference's
         # meta saver CSVs (lightning/callbacks/saver.py:23-321)
         from fscl_tpu.obs.loggers import AdaptationSaver
-        from fscl_tpu.systems.tune import adapt_on_chip_chunked
-        new_params, losses = adapt_on_chip_chunked(
-            baseline, b_state.params, b_state.batch_stats,
-            dm.train_batches(), args.adaptation_steps,
-            lr=args.scan_lr, symbol_id=dc.symbol_id,
-            optimizer=getattr(args, "scan_optimizer", "sgd"))
+        from fscl_tpu.systems.tune import (
+            adapt_on_chip_chunked, adapt_on_chip_resident,
+        )
+        # few-shot splits fit on device whole: upload once, gather each
+        # step's batch on chip (no 20k-batch host stream). Larger splits
+        # fall back to the chunked streaming scan.
+        support = (dm.full_train_batch()
+                   if hasattr(dm, "full_train_batch") else None)
+        if support is not None:
+            new_params, losses = adapt_on_chip_resident(
+                baseline, b_state.params, b_state.batch_stats, support,
+                args.adaptation_steps,
+                batch_size=train_cfg.optim.batch_size,
+                lr=args.scan_lr, symbol_id=dc.symbol_id,
+                optimizer=getattr(args, "scan_optimizer", "sgd"),
+                seed=train_cfg.seed)
+        else:
+            new_params, losses = adapt_on_chip_chunked(
+                baseline, b_state.params, b_state.batch_stats,
+                dm.train_batches(), args.adaptation_steps,
+                lr=args.scan_lr, symbol_id=dc.symbol_id,
+                optimizer=getattr(args, "scan_optimizer", "sgd"))
         b_state = b_state.replace(params=new_params)
         saver = AdaptationSaver(os.path.join(args.exp_dir, "csv"))
         path = saver.save_curve(dc.symbol_id, np.asarray(losses))

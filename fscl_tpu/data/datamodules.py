@@ -199,6 +199,27 @@ class FastSpeech2DataModule(BaseDataModule):
                 yield batch
             epoch += 1
 
+    def full_train_batch(self, max_utts: int = 128) -> Optional[Batch]:
+        """The whole train split collated as ONE bucket-padded K-row Batch,
+        for device-resident adaptation (tune.adapt_on_chip_resident): the
+        few-shot tune splits are 4-64 utterances, so the 20k-step scan can
+        gather each step's batch on device instead of streaming host
+        batches. Returns None when the split exceeds `max_utts` (resident
+        padding would waste memory) or carries d-vector reference slices
+        (ragged extras the row-gather does not model)."""
+        n = len(self.train_set)
+        if n == 0 or n > max_utts or self.dvec_slices is not None:
+            return None
+        idxs = np.arange(n)
+        if self._shard is not None:
+            return self._shard.collate(idxs, **self._var_kw)[1]
+        if self._native is not None:
+            ds = self.train_set.datasets[0]
+            return self._native.collate(
+                [ds.queries[int(i)] for i in idxs])[1]
+        return collate_batch([self.train_set[int(i)] for i in idxs],
+                             **self._var_kw)[1]
+
     def val_batches(self) -> List[Batch]:
         if self.val_set is None:
             return []

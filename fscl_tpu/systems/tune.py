@@ -215,6 +215,74 @@ def adapt_on_chip_chunked(
     return params, np.concatenate(losses_out)
 
 
+def _gather_rows(tree, i):
+    """Row-gather every leaf of a leading-axis-K pytree by indices (B,)."""
+    return jax.tree_util.tree_map(lambda x: jnp.take(x, i, axis=0), tree)
+
+
+def _get_resident_adapt_fn(baseline: BaselineSystem,
+                           symbol_id: Optional[str],
+                           optimizer: str = "sgd"):
+    """Jitted device-resident adaptation scan, cached like _get_adapt_fn.
+    Scans over an (n_steps, B) index array and gathers each step's batch
+    on device from the resident K-row support Batch."""
+    cache = baseline.__dict__.setdefault("_adapt_jit_cache", {})
+    key = (symbol_id, "resident", optimizer)
+    fn = cache.get(key)
+    if fn is None:
+        scan_fn = (fast_adaptation_scan_adam if optimizer == "adam"
+                   else fast_adaptation_scan)
+
+        def run(p, bs, support, idx, lr):
+            loss_fn = _make_task_loss_fn(baseline, bs, symbol_id)
+
+            def idx_loss(pp, i):
+                return loss_fn(pp, _gather_rows(support, i))
+
+            return scan_fn(idx_loss, p, idx, lr)
+
+        fn = cache[key] = jax.jit(run)
+    return fn
+
+
+def adapt_on_chip_resident(
+    baseline: BaselineSystem,
+    params: Dict[str, Any],
+    batch_stats,
+    support: Batch,
+    n_steps: int,
+    batch_size: Optional[int] = None,
+    lr: float = 1e-3,
+    symbol_id: Optional[str] = None,
+    optimizer: str = "sgd",
+    seed: int = 0,
+):
+    """Long-budget test-time adaptation with a DEVICE-RESIDENT support set.
+
+    The few-shot train split (K utterances, collated once into a K-row
+    Batch) is uploaded a single time; each scan step gathers its
+    batch_size-row batch on device from a precomputed epoch-style index
+    array (per-step sampling without replacement, matching the host
+    dataloader semantics of the streamed path). The reference's 20k-step
+    adaptation budget (config/algorithm/language/fscl.yaml) then moves
+    ~300 KB of indices host->device instead of ~14 GB of re-collated
+    batches — adapt_on_chip_chunked spent 386 of 637 s of the full
+    rehearsal streaming those (BASELINE.md round 3).
+
+    Same math as adapt_on_chip over the equivalent batch list: SGD or the
+    reference tune flows' Adam (beta=(0.9,0.98), clip 1.0). Returns
+    (adapted params, per-step losses)."""
+    K = int(np.asarray(support.texts).shape[0])
+    B = min(batch_size or K, K)
+    rng = np.random.default_rng(seed)
+    idx = np.stack([rng.choice(K, size=B, replace=False)
+                    for _ in range(n_steps)]).astype(np.int32)
+    fn = _get_resident_adapt_fn(baseline, symbol_id, optimizer)
+    params, losses = fn(params, batch_stats, jax.device_put(support),
+                        jnp.asarray(idx), jnp.float32(lr))
+    return params, losses
+
+
 def stack_tasks(task_batches: List[List[Batch]]) -> Batch:
     """Stack a list of per-task batch sequences into one pytree with leading
     axes (n_tasks, n_steps, ...). All tasks must share static shapes
