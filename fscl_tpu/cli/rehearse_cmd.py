@@ -183,7 +183,12 @@ def run(args):
                 return shards[c].collate_episode(
                     [j for _, j in located], args.shots, args.queries,
                     pitch_feature=model_cfg.variance.pitch_feature,
-                    energy_feature=model_cfg.variance.energy_feature)
+                    energy_feature=model_cfg.variance.energy_feature,
+                    # bf16 upstream: ship support wavs as int16 PCM (4x
+                    # less upload; dequantized on device, lossless at
+                    # bf16 precision)
+                    wav_dtype=("int16" if model_cfg.upstream.compute_dtype
+                               == "bfloat16" else "float32"))
             # two corpora sharing a lang_id: the sampler's label pool
             # spans shards — assemble sample dicts per shard and use the
             # generic episode collate
@@ -195,15 +200,36 @@ def run(args):
 
         it = sampler.infinite()
         ep0 = episode_at(next(it))
+        _t = time.monotonic()
         state = fscl.init_state(jax.random.PRNGKey(43), ep0)
+        jax.block_until_ready(state.params)
+        print(f"[rehearse]   init_state {time.monotonic() - _t:.1f}s",
+              flush=True)
+        _t = time.monotonic()
         step = jax.jit(fscl.train_step, donate_argnums=0)
+
+        # background-thread episode assembly + device_put so host prep and
+        # upload overlap device compute (train.trainer.prefetch_batches —
+        # the same pipelining the supervised Trainer applies)
+        def _episodes():
+            yield ep0
+            for _ in range(args.episodes - 1):
+                yield episode_at(next(it))
+
+        from fscl_tpu.train.trainer import prefetch_batches
         first = last = None
-        for i in range(args.episodes):
-            ep = episode_at(next(it)) if i else ep0
-            state, metrics = step(state, ep, jax.random.PRNGKey(0))
+        base_key = jax.device_put(jax.random.PRNGKey(0))
+        for i, ep in enumerate(prefetch_batches(
+                _episodes(), size=4, place=jax.device_put)):
+            state, metrics = step(state, ep, base_key)
             if i == 0:
                 first = float(metrics["Total Loss"])
+                print(f"[rehearse]   first episode (compile) "
+                      f"{time.monotonic() - _t:.1f}s", flush=True)
+                _t = time.monotonic()
         last = float(metrics["Total Loss"])
+        print(f"[rehearse]   {args.episodes - 1} episodes "
+              f"{time.monotonic() - _t:.1f}s", flush=True)
         report["meta_first_loss"] = first
         report["meta_last_loss"] = last
 
@@ -313,9 +339,12 @@ def run(args):
     # ---- 7. eval ----------------------------------------------------------
     with phases("eval"):
         # teacher-forced MCD vs ground-truth mels (the BASELINE.md quality
-        # metric): same targets, same durations
-        tf = baseline.forward(adapted, b_state.batch_stats, qry_batch,
-                              None, False)[0]
+        # metric): same targets, same durations. Jitted: the eager forward
+        # dispatches per-op over the tunnel (~57 s full-size); one compiled
+        # program is seconds.
+        tf = jax.jit(
+            lambda p, bs, b: baseline.forward(p, bs, b, None, False)[0]
+        )(adapted, b_state.batch_stats, qry_batch)
         tf_mel = np.asarray(tf.postnet_mel)
         mcds = [mel_cepstral_distortion(
             tf_mel[i][: int(qry_batch.mel_lens[i])],

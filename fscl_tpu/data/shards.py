@@ -277,10 +277,16 @@ def _episode_methods():
 
     def collate_episode(self, idxs, shots: int, queries: int,
                         pitch_feature: str = "phoneme_level",
-                        energy_feature: str = "phoneme_level"):
+                        energy_feature: str = "phoneme_level",
+                        wav_dtype: str = "float32"):
         """Shard-backed FSCL episode: coverage split on the (small)
         phoneme arrays, SupInfo wavs via native 1-D batch reads, query TTS
-        batch via the packed batch path. Returns systems.fscl.Episode."""
+        batch via the packed batch path. Returns systems.fscl.Episode.
+
+        wav_dtype="int16" ships the support wavs as 16-bit PCM (4x less
+        host->device transfer; frozen_upstream_features dequantizes on
+        device) — lossless at bf16 upstream precision, use with
+        UpstreamConfig.compute_dtype="bfloat16"."""
         from fscl_tpu.data.batch import (
             SupInfo, TEXT_BUCKETS, bucket_len, pad_1d,
         )
@@ -301,6 +307,9 @@ def _episode_methods():
             [r["offsets"]["raw_feat"][1][0] for r in sup_recs], np.int32)
         W = bucket_len(int(wav_lens.max()), WAV_BUCKETS)
         wavs = self._read_rows(sup_recs, "raw_feat", W, np.float32)
+        if wav_dtype == "int16":
+            wavs = np.clip(np.rint(wavs * 32768.0), -32768, 32767) \
+                .astype(np.int16)
         L = bucket_len(max(len(phonemes[i]) for i in sup_ids),
                        TEXT_BUCKETS)
         sup = SupInfo(

@@ -190,6 +190,13 @@ def frozen_upstream_features(upstream, params, wavs, wav_valid,
     import jax
     import jax.numpy as jnp
 
+    if jnp.issubdtype(wavs.dtype, jnp.integer):
+        # int16 wire format: episode wavs may be shipped host->device as
+        # 16-bit PCM (4x less transfer than f32 — the meta-train phase is
+        # upload-bandwidth-bound on a tunneled chip, BASELINE.md round 3);
+        # dequantize on device. Quantization error (<=2^-16 full-scale) is
+        # an order below bf16 input rounding (2^-8 relative).
+        wavs = wavs.astype(jnp.float32) * (1.0 / 32768.0)
     if compute_dtype == "bfloat16":
         params = jax.tree_util.tree_map(
             lambda x: x.astype(jnp.bfloat16)

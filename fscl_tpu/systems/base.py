@@ -68,6 +68,26 @@ def apply_grads(state: TrainState, grads, tx, new_batch_stats=None) -> TrainStat
     )
 
 
+def jit_init(module, *, static_argnums=()):
+    """`module.init` under jax.jit. An eager flax init dispatches one tiny
+    device op per parameter — measured 149 s for the 300M-param FSCL meta
+    system over a tunneled chip (round-3 rehearsal breakdown) — where one
+    compiled program materializes every tensor device-side in seconds (and
+    the executable lands in the persistent compile cache). Init runs once
+    per process, so the wrapper is built per call."""
+    return jax.jit(module.init, static_argnums=static_argnums)
+
+
+def jit_frozen_extract(extract_fn, upstream_params, *args):
+    """Run a system's `extract_ssl`-style frozen forward under jit with the
+    upstream weights as a TRACED argument (closure capture would bake them
+    into the HLO as constants — the remote-compile wedge fixed in
+    tune.build_reference_table). For one-off init/eval-time extractions
+    outside a jitted train step."""
+    return jax.jit(
+        lambda up, *a: extract_fn(*a, up))(upstream_params, *args)
+
+
 class System:
     """Base class. Subclasses set up modules in __init__ and implement
     init_state / loss_fn; train_step/eval_step come for free."""

@@ -41,10 +41,11 @@ class BaselineSystem(System):
     # -- setup ---------------------------------------------------------------
     def init_variables(self, rng, batch: Batch) -> Dict[str, Any]:
         r1, r2 = jax.random.split(rng)
-        emb_vars = self.embedding_model.init(r1, jnp.asarray(batch.texts))
+        from fscl_tpu.systems.base import jit_init
+        emb_vars = jit_init(self.embedding_model)(r1, jnp.asarray(batch.texts))
         emb = self.embedding_model.apply(emb_vars, jnp.asarray(batch.texts))
         T = batch.mels.shape[1]
-        model_vars = self.model.init(
+        model_vars = jit_init(self.model, static_argnums=(3,))(
             r2, emb, jnp.asarray(batch.src_lens), T,
             # speaker_args may be a DvecRefs pytree (slices, mask), not a
             # flat id array — map asarray over its leaves

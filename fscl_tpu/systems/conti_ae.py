@@ -59,7 +59,8 @@ class ContiAESystem(System):
         self.upstream_params: Optional[Dict[str, Any]] = None
 
     def init_upstream(self, rng, example_wav):
-        self.upstream_params = self.upstream.init(rng, example_wav)
+        from fscl_tpu.systems.base import jit_init
+        self.upstream_params = jit_init(self.upstream)(rng, example_wav)
 
     def extract_layer(self, wavs, wav_lens, upstream_params=None):
         from fscl_tpu.models.hubert import frozen_upstream_features
@@ -75,7 +76,9 @@ class ContiAESystem(System):
         r1, r2, r3 = jax.random.split(rng, 3)
         if self.upstream_params is None:
             self.init_upstream(r1, jnp.asarray(batch.wavs))
-        feats, _ = self.extract_layer(
+        from fscl_tpu.systems.base import jit_frozen_extract
+        feats, _ = jit_frozen_extract(
+            self.extract_layer, self.upstream_params,
             jnp.asarray(batch.wavs), jnp.asarray(batch.wav_lens))
         emb_vars = self.embed.init(r2, feats)
         x = self.embed.apply(emb_vars, feats)
@@ -130,7 +133,9 @@ class SemiTransEmbSystem(TransEmbSystem):
 
     def init_variables(self, rng, episode: SemiEpisode) -> Dict[str, Any]:
         variables = super().init_variables(rng, episode.sup_episode)
-        hidden, _ = self.extract_ssl(
+        from fscl_tpu.systems.base import jit_frozen_extract
+        hidden, _ = jit_frozen_extract(
+            self.extract_ssl, self.upstream_params,
             jnp.asarray(episode.unsup.wavs),
             jnp.asarray(episode.unsup.wav_lens))
         emb_vars = self.unsup_embed.init(

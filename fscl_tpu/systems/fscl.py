@@ -75,7 +75,8 @@ class TransEmbSystem(System):
 
     # -- upstream ------------------------------------------------------------
     def init_upstream(self, rng, example_wav) -> None:
-        self.upstream_params = self.upstream.init(rng, example_wav)
+        from fscl_tpu.systems.base import jit_init
+        self.upstream_params = jit_init(self.upstream)(rng, example_wav)
 
     def load_upstream(self, variables) -> None:
         """Install (possibly converted) frozen upstream weights, auto-
@@ -121,10 +122,11 @@ class TransEmbSystem(System):
         dummy_query = jnp.zeros(
             (1, self.n_symbols, self.model_cfg.upstream.n_layers,
              self.model_cfg.upstream.dim))
-        cb_vars = self.codebook.init(r2, dummy_query)
+        from fscl_tpu.systems.base import jit_init
+        cb_vars = jit_init(self.codebook)(r2, dummy_query)
         qry = episode.qry
         emb = jnp.zeros(qry.texts.shape + (d,))
-        model_vars = self.model.init(
+        model_vars = jit_init(self.model, static_argnums=(3,))(
             r3, emb, jnp.asarray(qry.src_lens), qry.mels.shape[1],
             speaker_args=jax.tree.map(jnp.asarray, qry.speaker_args),
             mel_lens=jnp.asarray(qry.mel_lens),

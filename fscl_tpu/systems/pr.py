@@ -67,7 +67,8 @@ class _SSLPRBase(System):
         self.upstream_params: Optional[Dict[str, Any]] = None
 
     def init_upstream(self, rng, example_wav) -> None:
-        self.upstream_params = self.upstream.init(rng, example_wav)
+        from fscl_tpu.systems.base import jit_init
+        self.upstream_params = jit_init(self.upstream)(rng, example_wav)
 
     def extract_ssl(self, wavs, wav_lens, upstream_params=None):
         from fscl_tpu.models.hubert import frozen_upstream_features
@@ -98,7 +99,9 @@ class SSLLinearSystem(_SSLPRBase):
         r1, r2, r3 = jax.random.split(rng, 3)
         if self.upstream_params is None:
             self.init_upstream(r1, jnp.asarray(batch.wavs))
-        hidden, _ = self.extract_ssl(
+        from fscl_tpu.systems.base import jit_frozen_extract
+        hidden, _ = jit_frozen_extract(
+            self.extract_ssl, self.upstream_params,
             jnp.asarray(batch.wavs), jnp.asarray(batch.wav_lens))
         ds_vars = self.downstream.init(r2, hidden)
         x = self.downstream.apply(ds_vars, hidden)
@@ -139,7 +142,9 @@ class SSLBaselineSystem(_SSLPRBase):
         r1, r2, r3 = jax.random.split(rng, 3)
         if self.upstream_params is None:
             self.init_upstream(r1, jnp.asarray(batch.wavs))
-        hidden, frame_valid = self.extract_ssl(
+        from fscl_tpu.systems.base import jit_frozen_extract
+        hidden, frame_valid = jit_frozen_extract(
+            self.extract_ssl, self.upstream_params,
             jnp.asarray(batch.wavs), jnp.asarray(batch.wav_lens))
         ds_vars = self.downstream.init(r2, hidden, frame_valid)
         x = self.downstream.apply(ds_vars, hidden, frame_valid)
@@ -227,8 +232,11 @@ class TransHeadPRSystem(_SSLPRBase):
         r1, r2, r3 = jax.random.split(rng, 3)
         if self.upstream_params is None:
             self.init_upstream(r1, jnp.asarray(episode.sup.wavs))
-        hidden, frame_valid = self.extract_ssl(
-            jnp.asarray(episode.sup.wavs), jnp.asarray(episode.sup.wav_lens))
+        from fscl_tpu.systems.base import jit_frozen_extract
+        hidden, frame_valid = jit_frozen_extract(
+            self.extract_ssl, self.upstream_params,
+            jnp.asarray(episode.sup.wavs),
+            jnp.asarray(episode.sup.wav_lens))
         ds_vars = self.downstream.init(r2, hidden, frame_valid)
         queries = frame_phoneme_query_extract(
             hidden, jnp.asarray(episode.sup.avg_frames),
@@ -297,8 +305,11 @@ class SSLProtoNetSystem(_SSLPRBase):
         r1, r2 = jax.random.split(rng)
         if self.upstream_params is None:
             self.init_upstream(r1, jnp.asarray(episode.sup.wavs))
-        hidden, frame_valid = self.extract_ssl(
-            jnp.asarray(episode.sup.wavs), jnp.asarray(episode.sup.wav_lens))
+        from fscl_tpu.systems.base import jit_frozen_extract
+        hidden, frame_valid = jit_frozen_extract(
+            self.extract_ssl, self.upstream_params,
+            jnp.asarray(episode.sup.wavs),
+            jnp.asarray(episode.sup.wav_lens))
         ds_vars = self.downstream.init(r2, hidden, frame_valid)
         return {"params": {"downstream": ds_vars["params"]},
                 "frozen": {"upstream": self.upstream_params}}

@@ -74,9 +74,10 @@ class TacoT2USystem(System):
 
     def init_variables(self, rng, batch: T2UBatch) -> Dict[str, Any]:
         r1, r2, r3 = jax.random.split(rng, 3)
-        emb_vars = self.embedding_model.init(r1, jnp.asarray(batch.texts))
+        from fscl_tpu.systems.base import jit_init
+        emb_vars = jit_init(self.embedding_model)(r1, jnp.asarray(batch.texts))
         emb = self.embedding_model.apply(emb_vars, jnp.asarray(batch.texts))
-        model_vars = self.model.init(
+        model_vars = jit_init(self.model)(
             r2, emb, jnp.asarray(batch.src_lens), jnp.asarray(batch.units), r3)
         variables = {"params": {"embedding": emb_vars["params"],
                                 "model": model_vars["params"]}}
@@ -137,7 +138,8 @@ class TransEmbT2USystem(System):
         self.upstream_params: Optional[Dict[str, Any]] = None
 
     def init_upstream(self, rng, example_wav) -> None:
-        self.upstream_params = self.upstream.init(rng, example_wav)
+        from fscl_tpu.systems.base import jit_init
+        self.upstream_params = jit_init(self.upstream)(rng, example_wav)
 
     def extract_ssl(self, wavs, wav_lens, upstream_params=None):
         from fscl_tpu.models.hubert import frozen_upstream_features
@@ -182,9 +184,10 @@ class TransEmbT2USystem(System):
             self.init_upstream(r1, jnp.asarray(sup.wavs))
         dummy = jnp.zeros(
             (1, 8, self.model_cfg.upstream.n_layers, self.model_cfg.upstream.dim))
-        gen_vars = self.embedding_generator.init(r2, dummy)
+        from fscl_tpu.systems.base import jit_init
+        gen_vars = jit_init(self.embedding_generator)(r2, dummy)
         emb = jnp.zeros(qry.texts.shape + (self.t2u_cfg.symbols_embedding_dim,))
-        model_vars = self.model.init(
+        model_vars = jit_init(self.model)(
             r3, emb, jnp.asarray(qry.src_lens), jnp.asarray(qry.units), r4)
         variables = {"params": {
             "embedding_generator": gen_vars["params"],

@@ -306,3 +306,34 @@ def test_fscl_shard_mel_upstream_rejected(tmp_path):
         pack_fscl_split_from_store(
             dc.subset_path("train"), FeatureStore(dc.data_dir), dc,
             ModelConfig(), str(tmp_path / "x.shard"), upstream="mel")
+
+
+def test_int16_wav_wire_matches_f32_at_bf16():
+    """int16 wire-format wavs (collate_episode wav_dtype="int16" ->
+    frozen_upstream_features on-device dequant) produce hidden states
+    matching the f32 wire within bf16 compute rounding."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from fscl_tpu.models.hubert import SSLUpstream, frozen_upstream_features
+    from fscl_tpu.ops.masking import length_mask
+
+    up = SSLUpstream(dim=16, n_layers=2, n_heads=2, ffn_dim=32)
+    rng = np.random.default_rng(0)
+    wavs = (rng.normal(size=(2, 8000)).astype(np.float32) * 0.3).clip(-1, 1)
+    wav_lens = np.array([8000, 5000], np.int32)
+    valid = length_mask(jnp.asarray(wav_lens), wavs.shape[-1])
+    params = up.init(jax.random.PRNGKey(0), jnp.asarray(wavs))
+
+    wavs_i16 = np.clip(np.rint(wavs * 32768.0), -32768, 32767) \
+        .astype(np.int16)
+    h_f32, v1 = frozen_upstream_features(
+        up, params, jnp.asarray(wavs), valid, "bfloat16")
+    h_i16, v2 = frozen_upstream_features(
+        up, params, jnp.asarray(wavs_i16), valid, "bfloat16")
+    assert np.array_equal(np.asarray(v1), np.asarray(v2))
+    a, b = np.asarray(h_f32), np.asarray(h_i16)
+    scale = np.abs(a).max()
+    assert np.abs(a - b).max() < 2e-2 * scale, (
+        np.abs(a - b).max(), scale)
