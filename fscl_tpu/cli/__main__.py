@@ -145,6 +145,16 @@ def main(argv=None):
              "generation -> transplant -> adaptation -> synthesis -> eval, "
              "timed per phase (rehearsal.json)")
     r.add_argument("--exp_dir", default="output/rehearsal")
+    r.add_argument("--flow", choices=["fscl", "t2u", "pr"], default="fscl",
+                   help="experiment family: fscl (flagship TTS transfer), "
+                        "t2u (unit discovery -> u2s -> fscl-t2u -> E2E "
+                        "chain), pr (episodic protonet -> task PER/FER)")
+    r.add_argument("--n_units", type=int, default=12,
+                   help="t2u flow: kmeans pseudo-unit inventory size")
+    r.add_argument("--u2s_steps", type=int, default=80,
+                   help="t2u flow: unit-to-speech training steps")
+    r.add_argument("--tune_steps", type=int, default=40,
+                   help="t2u flow: E2E-chain fine-tuning steps")
     r.add_argument("--preset", choices=["tiny", "full"], default="tiny",
                    help="tiny: CPU-smoke sizes; full: reference scale "
                         "(enc4/dec6 256d + hubert-large scanned bf16)")

@@ -1,9 +1,24 @@
-"""`fscl_tpu rehearse` — the WHOLE flagship experiment as one command.
+"""`fscl_tpu rehearse` — a WHOLE experiment family as one command.
 
-Chains the reference's end-to-end few-shot cross-lingual flow
-(main.py:262-360 train + --tune paths and
-scripts/few_shot_task_generation.py:24-156) with per-phase wall-clock
-timing:
+Three flows (`--flow`), each chaining a reference experiment end-to-end
+with per-phase wall-clock timing into rehearsal.json:
+
+- `fscl` (default): the flagship few-shot cross-lingual TTS flow
+  (main.py:262-360 train + --tune paths and
+  scripts/few_shot_task_generation.py:24-156) — phases below.
+- `t2u`: the text-to-unit family (lightning/systems/t2u/*): pseudo-unit
+  discovery (kmeans over mel frames, `make-units` path) -> u2s
+  FastSpeech2 training on unit-aligned targets -> fscl-t2u meta-training
+  (episodic) -> t2u_tune_init embedding transplant -> E2E-chained
+  fine-tuning through the frozen u2s -> autoregressive unit generation ->
+  chained u2s synthesis -> unit PER + chained-MCD eval.
+- `pr`: the phoneme-recognition family (lightning/systems/
+  phoneme_recognition/*): episodic protonet training on the meta corpora
+  -> coverage-constrained task generation -> zero-shot protonet
+  transcription over the tasks (eval/protonet_eval.py, DPDP decoding) ->
+  PER/FER over the dumped task jsons.
+
+The fscl flow's phases:
 
   1. corpus        synthetic mini-corpora (2 meta-train "languages" + 1
                    held-out target), fully preprocessed through the real
@@ -87,7 +102,68 @@ def _preset_cfg(preset: str):
         upstream=UpstreamConfig(scan_layers=True, compute_dtype="bfloat16"))
 
 
+def _corpora(args, phases):
+    """Phase 1 shared by every flow: user corpora via --data_config/--target
+    or fully-preprocessed synthetic mini-corpora (2 meta-train "languages"
+    + 1 held-out target)."""
+    import os
+
+    from fscl_tpu.core.config import read_data_config
+    from fscl_tpu.data.scripts import make_synthetic_corpus
+
+    with phases("corpus"):
+        if args.data_config:
+            meta_cfgs = [read_data_config(p) for p in args.data_config]
+            target_cfg = read_data_config(args.target)
+        else:
+            n = args.corpus_utts
+            paths = [
+                make_synthetic_corpus(
+                    os.path.join(args.exp_dir, f"corpus_l{i}"),
+                    name=f"meta-l{i}", n_utts=n, seed=i + 1,
+                    f0_base=120.0 + 40.0 * i, lang_id=i)
+                for i in range(2)]
+            target_path = make_synthetic_corpus(
+                os.path.join(args.exp_dir, "corpus_target"),
+                name="target", n_utts=n, seed=7, f0_base=200.0, lang_id=2)
+            meta_cfgs = [read_data_config(p) for p in paths]
+            target_cfg = read_data_config(target_path)
+    return meta_cfgs, target_cfg
+
+
+def _finish(args, phases, report, lines):
+    """Write rehearsal.json and print the per-flow summary table."""
+    report["phase_seconds"] = {k: phases.times[k] for k in phases.order}
+    report["total_seconds"] = sum(phases.times.values())
+    out_path = os.path.join(args.exp_dir, "rehearsal.json")
+    with open(out_path, "w") as f:
+        json.dump(report, f, indent=2)
+
+    print(f"\n=== rehearsal summary ({args.flow}) ===")
+    for k in phases.order:
+        print(f"  {k:<12} {phases.times[k]:8.1f}s")
+    print(f"  {'TOTAL':<12} {report['total_seconds']:8.1f}s")
+    for line in lines:
+        print(f"  {line}")
+    print(f"  report: {out_path}")
+    return 0
+
+
 def run(args):
+    if args.episodes < 1:
+        raise SystemExit("rehearse: --episodes must be >= 1")
+    if args.data_config and not args.target:
+        raise SystemExit(
+            "rehearse: --data_config (meta-train corpora) requires "
+            "--target (held-out target-language data config)")
+    if args.flow == "t2u":
+        return run_t2u(args)
+    if args.flow == "pr":
+        return run_pr(args)
+    return run_fscl(args)
+
+
+def run_fscl(args):
     import numpy as np
 
     import jax
@@ -109,37 +185,16 @@ def run(args):
     from fscl_tpu.systems.fscl import Episode, TransEmbSystem
     from fscl_tpu.systems.tune import adapt_on_chip_resident, tune_init
 
-    if args.data_config and not args.target:
-        raise SystemExit(
-            "rehearse: --data_config (meta-train corpora) requires "
-            "--target (held-out target-language data config)")
-    if args.episodes < 1:
-        raise SystemExit("rehearse: --episodes must be >= 1")
     os.makedirs(args.exp_dir, exist_ok=True)
     phases = _Phases()
     model_cfg = _preset_cfg(args.preset)
     optim = OptimConfig(lr=args.lr, warmup_step=50, anneal_steps=())
-    report = {"preset": args.preset, "episodes": args.episodes,
+    report = {"flow": "fscl", "preset": args.preset,
+              "episodes": args.episodes,
               "adapt_steps": args.adapt_steps, "shots": args.shots}
 
     # ---- 1. corpus --------------------------------------------------------
-    with phases("corpus"):
-        if args.data_config:
-            meta_cfgs = [read_data_config(p) for p in args.data_config]
-            target_cfg = read_data_config(args.target)
-        else:
-            n = args.corpus_utts
-            paths = [
-                make_synthetic_corpus(
-                    os.path.join(args.exp_dir, f"corpus_l{i}"),
-                    name=f"meta-l{i}", n_utts=n, seed=i + 1,
-                    f0_base=120.0 + 40.0 * i, lang_id=i)
-                for i in range(2)]
-            target_path = make_synthetic_corpus(
-                os.path.join(args.exp_dir, "corpus_target"),
-                name="target", n_utts=n, seed=7, f0_base=200.0, lang_id=2)
-            meta_cfgs = [read_data_config(p) for p in paths]
-            target_cfg = read_data_config(target_path)
+    meta_cfgs, target_cfg = _corpora(args, phases)
 
     n_symbols = max(len(LANG_ID2SYMBOLS[dc.symbol_id])
                     for dc in meta_cfgs + [target_cfg])
@@ -378,24 +433,372 @@ def run(args):
                           "gt_segment": gt_seg, "pred_segment": pred_seg})
         report["duration_fer"] = fer_over_infos(infos)
 
-    report["phase_seconds"] = {k: phases.times[k] for k in phases.order}
-    report["total_seconds"] = sum(phases.times.values())
-    out_path = os.path.join(args.exp_dir, "rehearsal.json")
-    with open(out_path, "w") as f:
-        json.dump(report, f, indent=2)
+    return _finish(args, phases, report, [
+        f"meta loss {report['meta_first_loss']:.3f} -> "
+        f"{report['meta_last_loss']:.3f} "
+        f"({report['episodes_per_s']:.2f} eps/s)",
+        f"adapt loss {report['adapt_first_loss']:.3f} -> "
+        f"{report['adapt_last_loss']:.3f} "
+        f"({report['adapt_steps_per_s']:.1f} steps/s)",
+        f"synthesis {report['synth_frames_per_s']:.0f} mel-frames/s",
+        f"MCD(tf) {report['mcd_teacher_forced']:.3f}  "
+        f"duration-FER {report['duration_fer']:.3f}",
+    ])
 
-    print("\n=== rehearsal summary ===")
-    for k in phases.order:
-        print(f"  {k:<12} {phases.times[k]:8.1f}s")
-    print(f"  {'TOTAL':<12} {report['total_seconds']:8.1f}s")
-    print(f"  meta loss {report['meta_first_loss']:.3f} -> "
-          f"{report['meta_last_loss']:.3f} "
-          f"({report['episodes_per_s']:.2f} eps/s)")
-    print(f"  adapt loss {report['adapt_first_loss']:.3f} -> "
-          f"{report['adapt_last_loss']:.3f} "
-          f"({report['adapt_steps_per_s']:.1f} steps/s)")
-    print(f"  synthesis {report['synth_frames_per_s']:.0f} mel-frames/s")
-    print(f"  MCD(tf) {report['mcd_teacher_forced']:.3f}  "
-          f"duration-FER {report['duration_fer']:.3f}")
-    print(f"  report: {out_path}")
-    return 0
+
+def _t2u_cfg(preset: str, n_unit_symbols: int):
+    """Per-preset TacoT2U config; `n_units` always covers the full unit
+    symbol table (common symbols + units, frontend.register_unit_symbols)."""
+    from fscl_tpu.models.tacotron2_t2u import T2UConfig
+
+    if preset == "tiny":
+        return T2UConfig(
+            n_units=n_unit_symbols, d_unit=16, symbols_embedding_dim=16,
+            encoder_embedding_dim=32, prenet_dim=16, attention_rnn_dim=32,
+            decoder_rnn_dim=32, attention_dim=16,
+            attention_location_n_filters=4,
+            attention_location_kernel_size=7)
+    return T2UConfig(n_units=n_unit_symbols)
+
+
+def run_t2u(args):
+    """The text-to-unit experiment family end-to-end (t2u systems,
+    lightning/systems/t2u/*): unit discovery -> u2s -> fscl-t2u meta ->
+    transplant -> E2E tune -> autoregressive units -> chained synthesis ->
+    unit PER + MCD."""
+    import dataclasses
+
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/fscl_tpu_jax_cache")
+
+    from fscl_tpu.core.config import OptimConfig, TrainConfig, read_data_config
+    from fscl_tpu.data.feature_store import (
+        FeatureStore, read_queries_from_txt,
+    )
+    from fscl_tpu.data.mix_datamodules import (
+        T2U2SDataModule, T2UEpisodicDataModule, _collate_t2u,
+    )
+    from fscl_tpu.data.ssl_units import generate_ssl_units, kmeans_unit_labeler
+    from fscl_tpu.eval.metrics import mel_cepstral_distortion, per_over_infos
+    from fscl_tpu.eval.task_generation import TaskGenerator
+    from fscl_tpu.frontend import (
+        LANG_ID2SYMBOLS, n_symbols as n_sym_of, register_unit_symbols,
+    )
+    from fscl_tpu.systems.baseline import BaselineSystem
+    from fscl_tpu.systems.t2u import TransEmbT2USystem
+    from fscl_tpu.systems.t2u_tune import E2ETuneSystem, t2u_tune_init
+
+    os.makedirs(args.exp_dir, exist_ok=True)
+    phases = _Phases()
+    model_cfg = _preset_cfg(args.preset)
+    optim = OptimConfig(lr=args.lr, warmup_step=50, anneal_steps=())
+    unit_name = "units-rehearse"
+    report = {"flow": "t2u", "preset": args.preset,
+              "episodes": args.episodes, "n_units": args.n_units,
+              "u2s_steps": args.u2s_steps, "tune_steps": args.tune_steps,
+              "shots": args.shots}
+
+    # ---- 1. corpus ---------------------------------------------------------
+    meta_cfgs, target_cfg = _corpora(args, phases)
+
+    # ---- 2. units: kmeans pseudo-unit discovery per corpus ----------------
+    # (cli/make_units_cmd.py mel-source path: kmeans over mel frames ->
+    # DPDP segmentation -> ssl_units/<unit_name> store with unit-aligned
+    # duration/pitch/energy; scripts/t2u unit prep in the reference)
+    with phases("units"):
+        register_unit_symbols(unit_name, args.n_units)
+        fp = 256 / 22050
+        for dc in meta_cfgs + [target_cfg]:
+            store = FeatureStore(dc.data_dir)
+            # every split's utterances need units (synthetic corpora carry
+            # no data_info.json metadata, only split txts)
+            if os.path.isfile(store.metadata_path):
+                queries = store.load_metadata()
+            else:
+                queries = []
+                for split in ("train", "val", "test"):
+                    p = dc.subset_path(split)
+                    if p and os.path.isfile(p):
+                        queries.extend(read_queries_from_txt(p))
+
+            def extract(q, store=store):
+                return np.asarray(store.mel.read_from_query(q))
+
+            logits_fn = kmeans_unit_labeler(
+                extract, queries, n_units=args.n_units, seed=0)
+            generate_ssl_units(store, unit_name, logits_fn, queries=queries,
+                               fp=fp, save_matrices=False)
+        meta_cfgs = [dataclasses.replace(dc, unit_name=unit_name)
+                     for dc in meta_cfgs]
+        target_cfg = dataclasses.replace(target_cfg, unit_name=unit_name)
+    n_unit_symbols = n_sym_of(unit_name)
+    t2u_cfg = _t2u_cfg(args.preset, n_unit_symbols)
+    train_cfg = TrainConfig(
+        optim=dataclasses.replace(optim, batch_size=4), seed=43)
+
+    # ---- 3. u2s-train: FastSpeech2 over the unit symbol set ---------------
+    with phases("u2s-train"):
+        dm = T2U2SDataModule(meta_cfgs, model_cfg, train_cfg,
+                             exp_dir=args.exp_dir)
+        dm.setup()
+        batches = dm.train_batches()
+        b0 = next(batches)
+        u2s = BaselineSystem(model_cfg, optim,
+                             ((unit_name, n_unit_symbols),))
+        u2s_state = u2s.init_state(jax.random.PRNGKey(11), b0.u2s)
+        u2s_step = jax.jit(u2s.train_step, donate_argnums=0)
+        key = jax.device_put(jax.random.PRNGKey(12))
+        for i in range(args.u2s_steps):
+            b = b0 if i == 0 else next(batches)
+            u2s_state, m = u2s_step(u2s_state, b.u2s, key)
+            if i == 0:
+                report["u2s_first_loss"] = float(m["Total Loss"])
+        report["u2s_last_loss"] = float(m["Total Loss"])
+
+    # ---- 4. meta-train: episodic fscl-t2u ----------------------------------
+    n_symbols = max(n_sym_of(dc.symbol_id)
+                    for dc in meta_cfgs + [target_cfg])
+    fscl = TransEmbT2USystem(model_cfg, optim, n_symbols, t2u_cfg)
+    with phases("meta-train"):
+        edm = T2UEpisodicDataModule(
+            meta_cfgs, model_cfg, train_cfg, shots=args.shots,
+            queries=args.queries, upstream=model_cfg.upstream.name)
+        edm.setup()
+        eps = edm.train_batches()
+        ep0 = next(eps)
+        state = fscl.init_state(jax.random.PRNGKey(21), ep0)
+        step = jax.jit(fscl.train_step, donate_argnums=0)
+        key = jax.device_put(jax.random.PRNGKey(22))
+        for i in range(args.episodes):
+            ep = ep0 if i == 0 else next(eps)
+            state, m = step(state, ep, key)
+            if i == 0:
+                report["meta_first_loss"] = float(m["Total Loss"])
+        report["meta_last_loss"] = float(m["Total Loss"])
+    report["episodes_per_s"] = args.episodes / phases.times["meta-train"]
+
+    # ---- 5. tasks ----------------------------------------------------------
+    with phases("tasks"):
+        target_store = FeatureStore(target_cfg.data_dir)
+        gen = TaskGenerator("target", target_store, target_cfg.lang_id,
+                            target_cfg.symbol_id)
+        task_root = os.path.join(args.exp_dir, "few_shot_tasks")
+        gen.generate(target_cfg.subset_path("train"), task_root,
+                     shots=[args.shots], n_qry=args.queries, n_tasks=1)
+        task_dir = os.path.join(task_root, f"{args.shots}-shot", "task-0")
+        task_cfg = dataclasses.replace(
+            read_data_config(os.path.join(task_dir, "config.yaml")),
+            unit_name=unit_name)
+
+    # ---- 6. transplant + E2E tune ------------------------------------------
+    t2u_sys = E2ETuneSystem(
+        model_cfg, optim, ((target_cfg.symbol_id, n_symbols),), t2u_cfg,
+        u2s, u2s_state.params, u2s_state.batch_stats,
+        u2s_symbol_id=unit_name)
+    with phases("transplant"):
+        from fscl_tpu.data.datasets import FSCLDataset
+        from fscl_tpu.data.episodic import collate_sup_info
+        task_fscl_ds = FSCLDataset(
+            os.path.join(task_dir, "train.txt"), target_store, task_cfg,
+            model_cfg, upstream=model_cfg.upstream.name)
+        sup_batches = [collate_sup_info(
+            [task_fscl_ds[i]
+             for i in range(s, min(s + 4, len(task_fscl_ds)))])
+            for s in range(0, len(task_fscl_ds), 4)]
+        tune_dm = T2U2SDataModule([task_cfg], model_cfg, train_cfg,
+                                  exp_dir=args.exp_dir)
+        tune_dm.setup()
+        tune_batches = tune_dm.train_batches()
+        tb0 = next(tune_batches)
+        t_state = t2u_sys.init_state(jax.random.PRNGKey(31), tb0)
+        # the meta loop donated its state; rebind the live frozen upstream
+        if state.frozen is not None and "upstream" in state.frozen:
+            fscl.upstream_params = state.frozen["upstream"]
+        new_params = t2u_tune_init(fscl, state.params, t2u_sys,
+                                   t_state.params, sup_batches,
+                                   target_cfg.symbol_id)
+        t_state = t_state.replace(params=new_params)
+
+    with phases("tune"):
+        tstep = jax.jit(t2u_sys.train_step, donate_argnums=0)
+        key = jax.device_put(jax.random.PRNGKey(32))
+        for i in range(args.tune_steps):
+            b = tb0 if i == 0 else next(tune_batches)
+            t_state, m = tstep(t_state, b, key)
+            if i == 0:
+                report["tune_first_loss"] = float(m["Total Loss"])
+        report["tune_last_loss"] = float(m["Total Loss"])
+        report["tune_unit_acc"] = float(m["Acc"])
+    report["tune_steps_per_s"] = args.tune_steps / phases.times["tune"]
+
+    # ---- 7. chained synthesis: text -> units -> mel ------------------------
+    from fscl_tpu.data.datasets import UnitDataset
+    qry_ds = UnitDataset(os.path.join(task_dir, "val.txt"), target_store,
+                         task_cfg)
+    qry_samples = [qry_ds[i] for i in range(len(qry_ds))]
+    with phases("synthesis"):
+        t2u_b = _collate_t2u(qry_samples)
+        emb = t2u_sys.embedding_model.apply(
+            {"params": t_state.params["embedding"]},
+            jnp.asarray(t2u_b.texts))
+        def _infer(p, bs, e, sl, r):
+            mv = {"params": p["model"]}
+            if bs is not None:
+                mv["batch_stats"] = bs["model"]
+            return t2u_sys.model.apply(mv, e, sl, r, method="infer")
+
+        _, preds, n_steps, _ = jax.jit(_infer)(
+            t_state.params, t_state.batch_stats, emb,
+            jnp.asarray(t2u_b.src_lens), jax.random.PRNGKey(33))
+        preds = np.asarray(preds)
+        n_steps = np.maximum(np.asarray(n_steps), 1)
+        out = u2s.synthesize_bucketed(
+            u2s_state.params, u2s_state.batch_stats,
+            preds.astype(np.int32), n_steps.astype(np.int32),
+            np.zeros(len(preds), np.int32), np.zeros(len(preds), np.int32))
+        chained_mels = np.asarray(out.postnet_mel)
+        chained_lens = np.asarray(out.mel_len)
+        report["synth_frames"] = int(chained_lens.sum())
+    report["synth_frames_per_s"] = (
+        report["synth_frames"] / phases.times["synthesis"])
+
+    # ---- 8. eval: unit PER + chained / teacher-forced MCD ------------------
+    with phases("eval"):
+        unit_store = target_store.get_ssl_unit_store(unit_name)
+        syms = LANG_ID2SYMBOLS[unit_name]
+        val_queries = read_queries_from_txt(
+            os.path.join(task_dir, "val.txt"))
+        infos = []
+        for i, q in enumerate(val_queries[: len(qry_samples)]):
+            gt = unit_store.phoneme.read_from_query(q).strip()
+            toks = [syms[int(u)] for u in preds[i][: int(n_steps[i])]
+                    if 0 < int(u) < len(syms)]
+            infos.append({"gt": gt, "pred": " ".join(toks)})
+        report["unit_per"] = per_over_infos(infos)
+
+        # teacher-forced u2s MCD on ground-truth units (u2s quality) +
+        # chained MCD vs ground-truth mels (whole-chain quality)
+        u2s_val_samples = [tune_dm._u2s_sample(task_cfg, s)
+                           for s in qry_samples]
+        from fscl_tpu.data.batch import collate_batch
+        _, u2s_val = collate_batch(u2s_val_samples, **_var_kw(model_cfg))
+        tf = jax.jit(
+            lambda p, bs, b: u2s.forward(p, bs, b, None, False)[0]
+        )(u2s_state.params, u2s_state.batch_stats, u2s_val)
+        tf_mel = np.asarray(tf.postnet_mel)
+        mcds_tf, mcds_chain = [], []
+        for i in range(len(qry_samples)):
+            L = int(u2s_val.mel_lens[i])
+            gt_mel = np.asarray(u2s_val.mels[i][:L])
+            mcds_tf.append(mel_cepstral_distortion(tf_mel[i][:L], gt_mel))
+            mcds_chain.append(mel_cepstral_distortion(
+                chained_mels[i][: int(chained_lens[i])], gt_mel))
+        report["mcd_u2s_teacher_forced"] = float(np.mean(mcds_tf))
+        report["mcd_chained"] = float(np.mean(mcds_chain))
+
+    return _finish(args, phases, report, [
+        f"u2s loss {report['u2s_first_loss']:.3f} -> "
+        f"{report['u2s_last_loss']:.3f}",
+        f"meta loss {report['meta_first_loss']:.3f} -> "
+        f"{report['meta_last_loss']:.3f} "
+        f"({report['episodes_per_s']:.2f} eps/s)",
+        f"tune loss {report['tune_first_loss']:.3f} -> "
+        f"{report['tune_last_loss']:.3f} "
+        f"(unit acc {report['tune_unit_acc']:.3f})",
+        f"unit PER {report['unit_per']:.3f}",
+        f"MCD(u2s tf) {report['mcd_u2s_teacher_forced']:.3f}  "
+        f"MCD(chained) {report['mcd_chained']:.3f}",
+    ])
+
+
+def run_pr(args):
+    """The phoneme-recognition family end-to-end (pr systems,
+    lightning/systems/phoneme_recognition/*): episodic protonet training ->
+    task generation -> zero-shot transcription -> PER/FER."""
+    import numpy as np
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/fscl_tpu_jax_cache")
+
+    from fscl_tpu.core.config import OptimConfig, TrainConfig
+    from fscl_tpu.data.datamodules import PREpisodicDataModule
+    from fscl_tpu.data.feature_store import FeatureStore
+    from fscl_tpu.eval.metrics import fer_over_infos, per_over_infos
+    from fscl_tpu.eval.protonet_eval import run_protonet_eval
+    from fscl_tpu.eval.task_generation import TaskGenerator
+    from fscl_tpu.frontend import n_symbols as n_sym_of
+    from fscl_tpu.systems.pr import SSLProtoNetSystem
+
+    os.makedirs(args.exp_dir, exist_ok=True)
+    phases = _Phases()
+    model_cfg = _preset_cfg(args.preset)
+    optim = OptimConfig(lr=args.lr, warmup_step=50, anneal_steps=())
+    report = {"flow": "pr", "preset": args.preset,
+              "episodes": args.episodes, "shots": args.shots}
+
+    # ---- 1. corpus ---------------------------------------------------------
+    meta_cfgs, target_cfg = _corpora(args, phases)
+
+    # ---- 2. episodic protonet training -------------------------------------
+    id2symbols = tuple(sorted(
+        {(dc.symbol_id, n_sym_of(dc.symbol_id))
+         for dc in meta_cfgs + [target_cfg]}))
+    system = SSLProtoNetSystem(model_cfg, optim, id2symbols)
+    with phases("pr-train"):
+        train_cfg = TrainConfig(optim=optim, seed=43)
+        dm = PREpisodicDataModule(meta_cfgs, model_cfg, train_cfg,
+                                  shots=args.shots, queries=args.queries)
+        dm.setup()
+        eps = dm.train_batches()
+        ep0 = next(eps)
+        state = system.init_state(jax.random.PRNGKey(41), ep0)
+        step = jax.jit(system.train_step, donate_argnums=0)
+        key = jax.device_put(jax.random.PRNGKey(42))
+        for i in range(args.episodes):
+            ep = ep0 if i == 0 else next(eps)
+            state, m = step(state, ep, key)
+            if i == 0:
+                report["pr_first_loss"] = float(m["Total Loss"])
+        report["pr_last_loss"] = float(m["Total Loss"])
+        report["pr_train_acc"] = float(m["Acc"])
+    report["episodes_per_s"] = args.episodes / phases.times["pr-train"]
+
+    # ---- 3. tasks -----------------------------------------------------------
+    with phases("tasks"):
+        target_store = FeatureStore(target_cfg.data_dir)
+        gen = TaskGenerator("target", target_store, target_cfg.lang_id,
+                            target_cfg.symbol_id)
+        task_root = os.path.join(args.exp_dir, "few_shot_tasks")
+        gen.generate(target_cfg.subset_path("train"), task_root,
+                     shots=[args.shots], n_qry=args.queries, n_tasks=1)
+
+    # ---- 4. eval: zero-shot protonet transcription over the tasks ----------
+    with phases("eval"):
+        # the training loop donated its state; rebind the live upstream
+        if state.frozen is not None and "upstream" in state.frozen:
+            system.upstream_params = state.frozen["upstream"]
+        out_dir = os.path.join(args.exp_dir, "pr_results")
+        paths = run_protonet_eval(
+            system, state.params,
+            os.path.join(task_root, f"{args.shots}-shot"), out_dir)
+        infos = []
+        for p in paths:
+            with open(p) as f:
+                infos.extend(json.load(f))
+        report["per"] = per_over_infos(infos)
+        report["fer"] = fer_over_infos(infos)
+        report["n_eval_utts"] = len(infos)
+
+    return _finish(args, phases, report, [
+        f"pr loss {report['pr_first_loss']:.3f} -> "
+        f"{report['pr_last_loss']:.3f} "
+        f"(train acc {report['pr_train_acc']:.3f}, "
+        f"{report['episodes_per_s']:.2f} eps/s)",
+        f"zero-shot PER {report['per']:.3f}  FER {report['fer']:.3f} "
+        f"over {report['n_eval_utts']} utts",
+    ])

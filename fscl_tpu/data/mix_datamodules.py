@@ -55,7 +55,11 @@ class T2U2SDataModule(BaseDataModule):
 
     def _u2s_sample(self, dc: DataConfig, t2u_sample: dict) -> dict:
         """Build the u2s view: text = units, acoustic targets from the
-        unit-aligned feature store."""
+        unit-aligned feature store. Pitch/energy are normalized with the
+        global stats exactly like the supervised dataset
+        (data/datasets.py:86-89) — the u2s FastSpeech2 trains on the same
+        target scale either way."""
+        from fscl_tpu.core.stats import DEFAULT_STATS
         store = self.stores[dc.name]
         unit_store = store.get_ssl_unit_store(dc.unit_name)
         q = {"spk": t2u_sample.get("speaker_name", ""),
@@ -68,6 +72,12 @@ class T2U2SDataModule(BaseDataModule):
             mel = mel.T
         pitch = np.asarray(unit_store.duration_avg_pitch.read_from_query(q))
         energy = np.asarray(unit_store.duration_avg_energy.read_from_query(q))
+        v = self.model_cfg.variance
+        if v.pitch_normalization:
+            pitch = (pitch - DEFAULT_STATS.pitch.mean) / DEFAULT_STATS.pitch.std
+        if v.energy_normalization:
+            energy = (energy - DEFAULT_STATS.energy.mean) / \
+                DEFAULT_STATS.energy.std
         return {
             "id": t2u_sample["id"], "speaker": t2u_sample["speaker"],
             "text": "", "phonemes": units, "mel": mel[: int(dur.sum())],

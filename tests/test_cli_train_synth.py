@@ -190,3 +190,53 @@ def test_cli_rehearse_full_chain(tmp_path):
     task_dir = exp / "few_shot_tasks" / "4-shot" / "task-0"
     assert (task_dir / "train.txt").is_file()
     assert (task_dir / "config.yaml").is_file()
+
+
+@pytest.mark.slow
+def test_cli_rehearse_t2u_flow(tmp_path):
+    """`rehearse --flow t2u`: the text-to-unit family end-to-end — unit
+    discovery -> u2s training -> fscl-t2u meta-training -> embedding
+    transplant -> E2E-chain fine-tuning -> autoregressive unit generation
+    -> chained u2s synthesis -> unit PER + MCD eval."""
+    import json
+    exp = tmp_path / "rehearsal_t2u"
+    r = run_cli("rehearse", "--flow", "t2u", "--exp_dir", str(exp),
+                "--episodes", "4", "--u2s_steps", "15", "--tune_steps", "6",
+                "--corpus_utts", "10", timeout=560)
+    assert r.returncode == 0, r.stdout + r.stderr
+    report = json.loads((exp / "rehearsal.json").read_text())
+    for phase in ("corpus", "units", "u2s-train", "meta-train", "tasks",
+                  "transplant", "tune", "synthesis", "eval"):
+        assert phase in report["phase_seconds"], report["phase_seconds"]
+    assert report["u2s_last_loss"] < report["u2s_first_loss"]
+    assert report["synth_frames"] > 0
+    assert report["unit_per"] >= 0.0
+    assert np.isfinite(report["mcd_u2s_teacher_forced"])
+    assert np.isfinite(report["mcd_chained"])
+    # the unit stores were written for every corpus (incl. the target)
+    assert (exp / "corpus_target" / "features" / "ssl_units"
+            / "units-rehearse").is_dir()
+
+
+@pytest.mark.slow
+def test_cli_rehearse_pr_flow(tmp_path):
+    """`rehearse --flow pr`: the phoneme-recognition family end-to-end —
+    episodic protonet training -> task generation -> zero-shot DPDP
+    transcription -> PER/FER over the dumped task jsons."""
+    import json
+    exp = tmp_path / "rehearsal_pr"
+    r = run_cli("rehearse", "--flow", "pr", "--exp_dir", str(exp),
+                "--episodes", "5", "--corpus_utts", "10", timeout=560)
+    assert r.returncode == 0, r.stdout + r.stderr
+    report = json.loads((exp / "rehearsal.json").read_text())
+    for phase in ("corpus", "pr-train", "tasks", "eval"):
+        assert phase in report["phase_seconds"], report["phase_seconds"]
+    assert report["pr_last_loss"] < report["pr_first_loss"]
+    assert report["n_eval_utts"] > 0
+    assert report["per"] >= 0.0
+    assert 0.0 <= report["fer"] <= 1.0
+    # per-task transcription jsons are the reference's task-json layout
+    results = list((exp / "pr_results").glob("task-*.json"))
+    assert results
+    infos = json.loads(results[0].read_text())
+    assert {"gt", "pred", "gt_segment", "pred_segment"} <= set(infos[0])
