@@ -180,6 +180,42 @@ class SSLUpstream(nn.Module):
         return hidden, frame_valid
 
 
+def pre_transformer_features(upstream: "SSLUpstream", params, wav,
+                             wav_valid=None):
+    """Everything in `SSLUpstream.__call__` BEFORE the transformer stack —
+    conv extractor, feature LN/projection, positional conv — as a pure
+    function over the SAME param layout, so parallel schedules
+    (parallel/pipeline.py) can run the layer stack themselves. Returns
+    (x, frame_valid) where x is the stack input == hidden layer 0.
+    Equality with the monolithic forward is pinned by
+    tests/test_pipeline_parallel.py."""
+    import jax.numpy as jnp
+
+    p = params["params"] if "params" in params else params
+    feats = ConvFeatureExtractor().apply(
+        {"params": p["feature_extractor"]}, wav)
+    Tp = feats.shape[1]
+    if wav_valid is not None:
+        n_valid = jnp.sum(wav_valid.astype(jnp.int32), axis=-1)
+        frame_len = jnp.floor(
+            (n_valid.astype(jnp.float32) / 320.0)).astype(jnp.int32)
+        frame_len = jnp.clip(frame_len, 0, Tp)
+        frame_valid = jnp.arange(Tp)[None, :] < frame_len[:, None]
+    else:
+        frame_valid = jnp.ones(feats.shape[:2], bool)
+
+    import flax.linen as nn
+    x = nn.LayerNorm().apply({"params": p["feat_layer_norm"]}, feats)
+    x = nn.Dense(upstream.dim).apply({"params": p["post_extract_proj"]}, x)
+    x = jnp.where(frame_valid[..., None], x, 0.0)
+    x = x + PositionalConvEmbedding(
+        upstream.dim, upstream.pos_conv_kernel,
+        upstream.pos_conv_groups).apply({"params": p["pos_conv"]}, x)
+    if not upstream.layer_norm_first:
+        x = nn.LayerNorm().apply({"params": p["encoder_layer_norm"]}, x)
+    return x, frame_valid
+
+
 def frozen_upstream_features(upstream, params, wavs, wav_valid,
                              compute_dtype: str = "float32"):
     """Frozen (no-grad) upstream forward shared by every SSL system's
@@ -214,10 +250,14 @@ def stack_layer_params(params: dict, n_layers: int) -> dict:
     ({layers: leaves with leading n_layers axis}). Other keys unchanged."""
     import jax
 
+    import jax.numpy as jnp
+
     p = {k: v for k, v in params.items() if not k.startswith("layer_")}
     layers = [params[f"layer_{i}"] for i in range(n_layers)]
+    # jnp.stack: tracer-safe, so the conversion may run under jit (the
+    # pipeline-parallel path auto-stacks inside its jitted caller)
     p["layers"] = jax.tree_util.tree_map(
-        lambda *xs: np.stack([np.asarray(x) for x in xs]), *layers)
+        lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]), *layers)
     return p
 
 
