@@ -157,10 +157,33 @@ def run(args):
             "rehearse: --data_config (meta-train corpora) requires "
             "--target (held-out target-language data config)")
     if args.flow == "t2u":
+        if args.u2s_steps < 1 or args.tune_steps < 1:
+            raise SystemExit(
+                "rehearse: --u2s_steps and --tune_steps must be >= 1")
         return run_t2u(args)
     if args.flow == "pr":
         return run_pr(args)
     return run_fscl(args)
+
+
+def _tasks(args, phases, target_cfg):
+    """Coverage-constrained K-shot task generation on the target split
+    (shared by every flow). Returns (target_store, task_root, task_dir,
+    task_cfg)."""
+    from fscl_tpu.core.config import read_data_config
+    from fscl_tpu.data.feature_store import FeatureStore
+    from fscl_tpu.eval.task_generation import TaskGenerator
+
+    with phases("tasks"):
+        target_store = FeatureStore(target_cfg.data_dir)
+        gen = TaskGenerator("target", target_store, target_cfg.lang_id,
+                            target_cfg.symbol_id)
+        task_root = os.path.join(args.exp_dir, "few_shot_tasks")
+        gen.generate(target_cfg.subset_path("train"), task_root,
+                     shots=[args.shots], n_qry=args.queries, n_tasks=1)
+        task_dir = os.path.join(task_root, f"{args.shots}-shot", "task-0")
+        task_cfg = read_data_config(os.path.join(task_dir, "config.yaml"))
+    return target_store, task_root, task_dir, task_cfg
 
 
 def run_fscl(args):
@@ -177,9 +200,7 @@ def run_fscl(args):
     from fscl_tpu.data.feature_store import (
         FeatureStore, read_queries_from_txt,
     )
-    from fscl_tpu.data.scripts import make_synthetic_corpus
     from fscl_tpu.eval.metrics import fer_over_infos, mel_cepstral_distortion
-    from fscl_tpu.eval.task_generation import TaskGenerator
     from fscl_tpu.frontend import LANG_ID2SYMBOLS
     from fscl_tpu.systems.baseline import BaselineSystem
     from fscl_tpu.systems.fscl import Episode, TransEmbSystem
@@ -251,7 +272,9 @@ def run_fscl(args):
             samples = [shards[c].sample(j) for c, j in located]
             return collate_episode(
                 samples, args.shots, args.queries,
-                var_kw=_var_kw(model_cfg))
+                var_kw=_var_kw(model_cfg),
+                wav_dtype=("int16" if model_cfg.upstream.compute_dtype
+                           == "bfloat16" else "float32"))
 
         it = sampler.infinite()
         ep0 = episode_at(next(it))
@@ -291,19 +314,10 @@ def run_fscl(args):
     report["episodes_per_s"] = args.episodes / phases.times["meta-train"]
 
     # ---- 3. task generation ----------------------------------------------
-    with phases("tasks"):
-        target_store = FeatureStore(target_cfg.data_dir)
-        gen = TaskGenerator("target", target_store, target_cfg.lang_id,
-                            target_cfg.symbol_id)
-        task_root = os.path.join(args.exp_dir, "few_shot_tasks")
-        gen.generate(target_cfg.subset_path("train"), task_root,
-                     shots=[args.shots], n_qry=args.queries, n_tasks=1,
-                     )
-        task_dir = os.path.join(task_root, f"{args.shots}-shot", "task-0")
-        task_cfg = read_data_config(os.path.join(task_dir, "config.yaml"))
-        # task config subsets resolve relative to the task dir
-        sup_queries = read_queries_from_txt(os.path.join(task_dir, "train.txt"))
-        qry_queries = read_queries_from_txt(os.path.join(task_dir, "val.txt"))
+    target_store, _, task_dir, task_cfg = _tasks(args, phases, target_cfg)
+    # task config subsets resolve relative to the task dir
+    sup_queries = read_queries_from_txt(os.path.join(task_dir, "train.txt"))
+    qry_queries = read_queries_from_txt(os.path.join(task_dir, "val.txt"))
 
     # ---- 4. transplant ----------------------------------------------------
     baseline = BaselineSystem(model_cfg, optim,
@@ -484,7 +498,6 @@ def run_t2u(args):
     )
     from fscl_tpu.data.ssl_units import generate_ssl_units, kmeans_unit_labeler
     from fscl_tpu.eval.metrics import mel_cepstral_distortion, per_over_infos
-    from fscl_tpu.eval.task_generation import TaskGenerator
     from fscl_tpu.frontend import (
         LANG_ID2SYMBOLS, n_symbols as n_sym_of, register_unit_symbols,
     )
@@ -582,17 +595,8 @@ def run_t2u(args):
     report["episodes_per_s"] = args.episodes / phases.times["meta-train"]
 
     # ---- 5. tasks ----------------------------------------------------------
-    with phases("tasks"):
-        target_store = FeatureStore(target_cfg.data_dir)
-        gen = TaskGenerator("target", target_store, target_cfg.lang_id,
-                            target_cfg.symbol_id)
-        task_root = os.path.join(args.exp_dir, "few_shot_tasks")
-        gen.generate(target_cfg.subset_path("train"), task_root,
-                     shots=[args.shots], n_qry=args.queries, n_tasks=1)
-        task_dir = os.path.join(task_root, f"{args.shots}-shot", "task-0")
-        task_cfg = dataclasses.replace(
-            read_data_config(os.path.join(task_dir, "config.yaml")),
-            unit_name=unit_name)
+    target_store, _, task_dir, task_cfg = _tasks(args, phases, target_cfg)
+    task_cfg = dataclasses.replace(task_cfg, unit_name=unit_name)
 
     # ---- 6. transplant + E2E tune ------------------------------------------
     t2u_sys = E2ETuneSystem(
@@ -635,6 +639,12 @@ def run_t2u(args):
         report["tune_unit_acc"] = float(m["Acc"])
     report["tune_steps_per_s"] = args.tune_steps / phases.times["tune"]
 
+    # the tune loop donated its state each step, deleting the buffers
+    # u2s_state pointed at (the frozen u2s now travels in TrainState.frozen
+    # as a traced argument) — rebind to the live frozen collection
+    u2s_params = t_state.frozen["u2s"]
+    u2s_bs = t_state.frozen.get("u2s_batch_stats", u2s_state.batch_stats)
+
     # ---- 7. chained synthesis: text -> units -> mel ------------------------
     from fscl_tpu.data.datasets import UnitDataset
     qry_ds = UnitDataset(os.path.join(task_dir, "val.txt"), target_store,
@@ -657,7 +667,7 @@ def run_t2u(args):
         preds = np.asarray(preds)
         n_steps = np.maximum(np.asarray(n_steps), 1)
         out = u2s.synthesize_bucketed(
-            u2s_state.params, u2s_state.batch_stats,
+            u2s_params, u2s_bs,
             preds.astype(np.int32), n_steps.astype(np.int32),
             np.zeros(len(preds), np.int32), np.zeros(len(preds), np.int32))
         chained_mels = np.asarray(out.postnet_mel)
@@ -688,7 +698,7 @@ def run_t2u(args):
         _, u2s_val = collate_batch(u2s_val_samples, **_var_kw(model_cfg))
         tf = jax.jit(
             lambda p, bs, b: u2s.forward(p, bs, b, None, False)[0]
-        )(u2s_state.params, u2s_state.batch_stats, u2s_val)
+        )(u2s_params, u2s_bs, u2s_val)
         tf_mel = np.asarray(tf.postnet_mel)
         mcds_tf, mcds_chain = [], []
         for i in range(len(qry_samples)):
@@ -727,10 +737,8 @@ def run_pr(args):
 
     from fscl_tpu.core.config import OptimConfig, TrainConfig
     from fscl_tpu.data.datamodules import PREpisodicDataModule
-    from fscl_tpu.data.feature_store import FeatureStore
     from fscl_tpu.eval.metrics import fer_over_infos, per_over_infos
     from fscl_tpu.eval.protonet_eval import run_protonet_eval
-    from fscl_tpu.eval.task_generation import TaskGenerator
     from fscl_tpu.frontend import n_symbols as n_sym_of
     from fscl_tpu.systems.pr import SSLProtoNetSystem
 
@@ -769,13 +777,7 @@ def run_pr(args):
     report["episodes_per_s"] = args.episodes / phases.times["pr-train"]
 
     # ---- 3. tasks -----------------------------------------------------------
-    with phases("tasks"):
-        target_store = FeatureStore(target_cfg.data_dir)
-        gen = TaskGenerator("target", target_store, target_cfg.lang_id,
-                            target_cfg.symbol_id)
-        task_root = os.path.join(args.exp_dir, "few_shot_tasks")
-        gen.generate(target_cfg.subset_path("train"), task_root,
-                     shots=[args.shots], n_qry=args.queries, n_tasks=1)
+    _, task_root, _, _ = _tasks(args, phases, target_cfg)
 
     # ---- 4. eval: zero-shot protonet transcription over the tasks ----------
     with phases("eval"):

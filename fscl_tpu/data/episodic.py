@@ -139,8 +139,14 @@ def build_sqids(tasks: List[List[int]], sample_ids: Sequence[str],
 WAV_BUCKETS = (16000 * 4, 16000 * 8, 16000 * 12, 16000 * 16)
 
 
-def collate_sup_info(samples: List[dict], bucket: bool = True) -> SupInfo:
-    """Support-set raw SSL inputs (FSCLCollate sup_info)."""
+def collate_sup_info(samples: List[dict], bucket: bool = True,
+                     wav_dtype: str = "float32") -> SupInfo:
+    """Support-set raw SSL inputs (FSCLCollate sup_info).
+
+    wav_dtype="int16" ships the support wavs as 16-bit PCM (4x less
+    host->device transfer; `frozen_upstream_features` dequantizes on
+    device — lossless at bf16 upstream precision). Same wire contract as
+    `data/shards.py:collate_episode`."""
     wav_lens = np.array([len(s["raw_feat"]) for s in samples], dtype=np.int32)
     L = max(len(s["phonemes"]) for s in samples)
     T = int(wav_lens.max())
@@ -148,8 +154,12 @@ def collate_sup_info(samples: List[dict], bucket: bool = True) -> SupInfo:
         from fscl_tpu.data.batch import TEXT_BUCKETS
         L = bucket_len(L, TEXT_BUCKETS)
         T = bucket_len(T, WAV_BUCKETS)
+    wavs = pad_1d([s["raw_feat"] for s in samples], T, dtype=np.float32)
+    if wav_dtype == "int16":
+        wavs = np.clip(np.rint(wavs * 32768.0), -32768, 32767) \
+            .astype(np.int16)
     return SupInfo(
-        wavs=pad_1d([s["raw_feat"] for s in samples], T, dtype=np.float32),
+        wavs=wavs,
         wav_lens=np.minimum(wav_lens, T),
         avg_frames=pad_1d([s["avg_frames"] for s in samples], L,
                           dtype=np.int32),
@@ -161,16 +171,20 @@ def collate_sup_info(samples: List[dict], bucket: bool = True) -> SupInfo:
 def collate_episode(samples: List[dict], shots: int, queries: int,
                     bucket: bool = True, with_sup_batch: bool = False,
                     with_qry_wavs: bool = False,
-                    var_kw: Optional[dict] = None):
+                    var_kw: Optional[dict] = None,
+                    wav_dtype: str = "float32"):
     """Episode collate (FSCLCollate._collate_fn): coverage split, then
     (sup_info, qry TTS batch[, sup TTS batch for MAML inner loops]).
     `with_qry_wavs` additionally attaches the query set's raw speech
     (FSCLCollate query_info=True path, for the SSL-ADA systems) and returns
     an SSLEpisode. `var_kw` forwards the variance feature levels
-    (pitch_feature/energy_feature) to collate_batch."""
+    (pitch_feature/energy_feature) to collate_batch; `wav_dtype` the
+    support-wav wire format to collate_sup_info (int16 = 4x less upload
+    for bf16 upstreams)."""
     var_kw = var_kw or {}
     sup_ids, qry_ids = split_sup_qry(samples, shots, queries)
-    sup = collate_sup_info([samples[i] for i in sup_ids], bucket)
+    sup = collate_sup_info([samples[i] for i in sup_ids], bucket,
+                           wav_dtype=wav_dtype)
     _, qry = collate_batch([samples[i] for i in qry_ids], bucket=bucket,
                            **var_kw)
     sup_batch = None

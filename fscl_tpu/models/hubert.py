@@ -216,6 +216,33 @@ def pre_transformer_features(upstream: "SSLUpstream", params, wav,
     return x, frame_valid
 
 
+def dequant_and_cast_inputs(params, wavs, compute_dtype: str):
+    """Shared input preamble of every frozen-upstream forward (monolithic,
+    pipeline-parallel, sequence-parallel — keep all three on one wire/dtype
+    policy):
+
+    - int16 wire format: episode wavs may be shipped host->device as
+      16-bit PCM (4x less transfer than f32 — the meta-train phase is
+      upload-bandwidth-bound on a tunneled chip, BASELINE.md round 3);
+      dequantize on device. Quantization error (<=2^-16 full-scale) is an
+      order below bf16 input rounding (2^-8 relative).
+    - compute_dtype="bfloat16": cast floating params + wavs to bf16
+      (measured 1.57x on full-size FSCL episodes); callers cast hidden
+      states back to f32 at the stop-gradient boundary."""
+    import jax
+    import jax.numpy as jnp
+
+    if jnp.issubdtype(wavs.dtype, jnp.integer):
+        wavs = wavs.astype(jnp.float32) * (1.0 / 32768.0)
+    if compute_dtype == "bfloat16":
+        params = jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16)
+            if jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating) else x,
+            params)
+        wavs = wavs.astype(jnp.bfloat16)
+    return params, wavs
+
+
 def frozen_upstream_features(upstream, params, wavs, wav_valid,
                              compute_dtype: str = "float32"):
     """Frozen (no-grad) upstream forward shared by every SSL system's
@@ -226,19 +253,7 @@ def frozen_upstream_features(upstream, params, wavs, wav_valid,
     import jax
     import jax.numpy as jnp
 
-    if jnp.issubdtype(wavs.dtype, jnp.integer):
-        # int16 wire format: episode wavs may be shipped host->device as
-        # 16-bit PCM (4x less transfer than f32 — the meta-train phase is
-        # upload-bandwidth-bound on a tunneled chip, BASELINE.md round 3);
-        # dequantize on device. Quantization error (<=2^-16 full-scale) is
-        # an order below bf16 input rounding (2^-8 relative).
-        wavs = wavs.astype(jnp.float32) * (1.0 / 32768.0)
-    if compute_dtype == "bfloat16":
-        params = jax.tree_util.tree_map(
-            lambda x: x.astype(jnp.bfloat16)
-            if jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating) else x,
-            params)
-        wavs = wavs.astype(jnp.bfloat16)
+    params, wavs = dequant_and_cast_inputs(params, wavs, compute_dtype)
     hidden, frame_valid = upstream.apply(
         jax.lax.stop_gradient(params), wavs, wav_valid)
     return (jax.lax.stop_gradient(hidden.astype(jnp.float32)),
@@ -254,10 +269,16 @@ def stack_layer_params(params: dict, n_layers: int) -> dict:
 
     p = {k: v for k, v in params.items() if not k.startswith("layer_")}
     layers = [params[f"layer_{i}"] for i in range(n_layers)]
-    # jnp.stack: tracer-safe, so the conversion may run under jit (the
-    # pipeline-parallel path auto-stacks inside its jitted caller)
-    p["layers"] = jax.tree_util.tree_map(
-        lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]), *layers)
+    # np.stack for concrete leaves (eager checkpoint loads stay pure host
+    # work: ~400 tiny device dispatches otherwise, the per-op tunnel cost
+    # jit_init exists to avoid); jnp.stack only under tracing (the
+    # pipeline/sequence-parallel paths auto-stack inside their jitted
+    # callers, where np.asarray on tracers would fail)
+    traced = any(isinstance(x, jax.core.Tracer)
+                 for x in jax.tree_util.tree_leaves(layers))
+    stack = jnp.stack if traced else (
+        lambda xs: np.stack([np.asarray(x) for x in xs]))
+    p["layers"] = jax.tree_util.tree_map(lambda *xs: stack(list(xs)), *layers)
     return p
 
 

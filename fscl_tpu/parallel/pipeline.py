@@ -35,7 +35,8 @@ def pipeline_upstream_features(upstream, params, wavs, wav_valid, mesh,
     `B % n_micro == 0`. Accepts per-layer or scanned param layouts.
     """
     from fscl_tpu.models.hubert import (
-        TransformerLayer, pre_transformer_features, stack_layer_params,
+        TransformerLayer, dequant_and_cast_inputs, pre_transformer_features,
+        stack_layer_params,
     )
 
     S = mesh.shape[axis]
@@ -47,17 +48,8 @@ def pipeline_upstream_features(upstream, params, wavs, wav_valid, mesh,
     p = params["params"] if "params" in params else params
     if "layers" not in p:
         p = stack_layer_params(p, upstream.n_layers)
-    params = {"params": p}
-
-    if jnp.issubdtype(wavs.dtype, jnp.integer):
-        # int16 PCM wire format (models/hubert.py frozen_upstream_features)
-        wavs = wavs.astype(jnp.float32) * (1.0 / 32768.0)
-    if compute_dtype == "bfloat16":
-        params = jax.tree_util.tree_map(
-            lambda x: x.astype(jnp.bfloat16)
-            if jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating) else x,
-            params)
-        wavs = wavs.astype(jnp.bfloat16)
+    params, wavs = dequant_and_cast_inputs({"params": p}, wavs,
+                                           compute_dtype)
 
     # pre-transformer part (conv extractor + projection + pos conv) is
     # cheap relative to the stack — computed replicated, once

@@ -79,7 +79,8 @@ def sequence_parallel_upstream_features(upstream, params, wavs, wav_valid,
     is padded (as invalid frames) to a multiple of the shard count, so any
     bucketed T' works. Accepts per-layer or scanned param layouts."""
     from fscl_tpu.models.hubert import (
-        pre_transformer_features, stack_layer_params,
+        dequant_and_cast_inputs, pre_transformer_features,
+        stack_layer_params,
     )
 
     S = mesh.shape[axis]
@@ -87,17 +88,8 @@ def sequence_parallel_upstream_features(upstream, params, wavs, wav_valid,
     p = params["params"] if "params" in params else params
     if "layers" not in p:
         p = stack_layer_params(p, upstream.n_layers)
-    params = {"params": p}
-
-    if jnp.issubdtype(wavs.dtype, jnp.integer):
-        # int16 PCM wire format (models/hubert.py frozen_upstream_features)
-        wavs = wavs.astype(jnp.float32) * (1.0 / 32768.0)
-    if compute_dtype == "bfloat16":
-        params = jax.tree_util.tree_map(
-            lambda x: x.astype(jnp.bfloat16)
-            if jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating) else x,
-            params)
-        wavs = wavs.astype(jnp.bfloat16)
+    params, wavs = dequant_and_cast_inputs({"params": p}, wavs,
+                                           compute_dtype)
 
     x, frame_valid = pre_transformer_features(
         upstream, params, wavs, wav_valid)

@@ -130,14 +130,25 @@ class E2ETuneSystem(TacoT2USystem):
         self.u2s_symbol_id = u2s_symbol_id
 
     def init_variables(self, rng, batch: E2EBatch) -> Dict[str, Any]:
-        return super().init_variables(rng, batch.t2u)
+        variables = super().init_variables(rng, batch.t2u)
+        # the frozen u2s weights travel in TrainState.frozen as a TRACED
+        # jit argument — reading self.u2s_params from the closure inside a
+        # jitted train step would bake the whole FastSpeech2 param tree
+        # into the HLO as constants (the remote-compile wedge fixed for
+        # the tune-time table builders, systems/tune.py)
+        frozen = dict(variables.get("frozen", {}))
+        frozen["u2s"] = self.u2s_params
+        if self.u2s_batch_stats is not None:
+            frozen["u2s_batch_stats"] = self.u2s_batch_stats
+        variables["frozen"] = frozen
+        return variables
 
-    def _u2s_unit_table(self) -> jnp.ndarray:
+    def _u2s_unit_table(self, u2s_params) -> jnp.ndarray:
         """The frozen u2s unit-embedding table. A multilingual u2s checkpoint
         carries one table per symbol set; select explicitly by
         `u2s_symbol_id` (the unit symbol set the chain decodes into) rather
         than grabbing an arbitrary entry."""
-        tables = self.u2s_params["embedding"]
+        tables = u2s_params["embedding"]
         if self.u2s_symbol_id is not None:
             key = f"table-{self.u2s_symbol_id}"
             if key not in tables:
@@ -152,18 +163,22 @@ class E2ETuneSystem(TacoT2USystem):
                 "unit table")
         return next(iter(tables.values()))
 
-    def u2s_forward(self, t2u_logits, u2s_batch: Batch):
+    def u2s_forward(self, t2u_logits, u2s_batch: Batch,
+                    u2s_params=None, u2s_batch_stats=None):
         """(TransEmbE2ETune.common_u2s_step, TransEmbE2ETune.py:169-182):
         soft unit distribution times the frozen u2s unit-embedding table."""
+        u2s_params = u2s_params if u2s_params is not None else self.u2s_params
+        u2s_batch_stats = (u2s_batch_stats if u2s_batch_stats is not None
+                           else self.u2s_batch_stats)
         probs = jax.nn.softmax(t2u_logits, axis=-1)
-        table = self._u2s_unit_table()
+        table = self._u2s_unit_table(u2s_params)
         n_units = table.shape[0]
         probs = probs[..., :n_units]
         emb = jnp.einsum("btu,ud->btd", probs, table,
                          preferred_element_type=jnp.float32)
-        model_vars = {"params": self.u2s_params["model"]}
-        if self.u2s_batch_stats is not None:
-            model_vars["batch_stats"] = self.u2s_batch_stats["model"]
+        model_vars = {"params": u2s_params["model"]}
+        if u2s_batch_stats is not None:
+            model_vars["batch_stats"] = u2s_batch_stats["model"]
         # unit sequence length = t2u target length here
         src_lens = u2s_batch.src_lens
         return self.u2s_system.model.apply(
@@ -174,13 +189,17 @@ class E2ETuneSystem(TacoT2USystem):
             d_targets=u2s_batch.durations, lang_args=u2s_batch.lang_ids,
         )
 
-    def _e2e_loss(self, params, batch_stats, batch: E2EBatch, rng, train):
+    def _e2e_loss(self, params, batch_stats, batch: E2EBatch, rng, train,
+                  frozen=None):
         """Shared E2E chain; returns the t2u logits so subclasses (DA) can
         reuse them instead of re-running the decoder."""
         logits, _, new_bs = self.forward(
             params, batch_stats, batch.t2u, rng, train)
         t2u_loss = framewise_ce_loss(logits, batch.t2u.units)
-        out = self.u2s_forward(logits, batch.u2s)
+        out = self.u2s_forward(
+            logits, batch.u2s,
+            u2s_params=frozen.get("u2s") if frozen else None,
+            u2s_batch_stats=frozen.get("u2s_batch_stats") if frozen else None)
         u2s = fastspeech2_loss(
             out.mel, out.postnet_mel, out.pitch_prediction,
             out.energy_prediction, out.log_duration_prediction,
@@ -199,7 +218,7 @@ class E2ETuneSystem(TacoT2USystem):
     def loss_and_metrics(self, params, batch_stats, batch: E2EBatch, rng,
                          train, frozen=None):
         total, metrics, new_bs, _ = self._e2e_loss(
-            params, batch_stats, batch, rng, train)
+            params, batch_stats, batch, rng, train, frozen)
         return total, (metrics, new_bs)
 
 
@@ -239,7 +258,7 @@ class DAE2ETuneSystem(E2ETuneSystem):
                          rng, train, frozen=None):
         e2e_total, metrics, new_bs, logits = self._e2e_loss(
             params, batch_stats, E2EBatch(t2u=batch.t2u, u2s=batch.u2s),
-            rng, train)
+            rng, train, frozen)
         probs = jax.nn.softmax(logits, axis=-1)
         fake_score = self.da.apply({"params": params["da"]}, probs,
                                    batch.t2u.units != 0)

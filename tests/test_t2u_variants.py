@@ -155,14 +155,15 @@ def test_e2e_u2s_table_selection_multilingual():
     sys_sel = E2ETuneSystem(CFG, OptimConfig(), (("en", N_SYM),), TCFG,
                             u2s, u2s_state.params, u2s_state.batch_stats,
                             u2s_symbol_id="unit")
-    table = sys_sel._u2s_unit_table()
+    table = sys_sel._u2s_unit_table(sys_sel.u2s_params)
     assert table.shape[0] == TCFG.n_units
 
     sys_none = E2ETuneSystem(CFG, OptimConfig(), (("en", N_SYM),), TCFG,
                              u2s, u2s_state.params, u2s_state.batch_stats)
     with pytest.raises(ValueError):
-        sys_none._u2s_unit_table()
+        sys_none._u2s_unit_table(sys_none.u2s_params)
     with pytest.raises(KeyError):
         E2ETuneSystem(CFG, OptimConfig(), (("en", N_SYM),), TCFG,
                       u2s, u2s_state.params, u2s_state.batch_stats,
-                      u2s_symbol_id="missing")._u2s_unit_table()
+                      u2s_symbol_id="missing")._u2s_unit_table(
+                          u2s_state.params)
