@@ -39,11 +39,66 @@ def _emit_subprocess_metric(metric: str, unit: str, code: str,
                           "vs_baseline": None, "error": str(e)[:200]}))
 
 
+def _probe_transport(timeout: int = 180):
+    """Tunnel-health probe in a BOUNDED subprocess (a single scalar
+    readback has been observed to take ~105 s when the tunnel degrades —
+    2026-08-17 — and an in-process probe cannot be timed out). Returns
+    median readback seconds, or None if the probe itself timed out."""
+    import subprocess
+    import sys
+    code = (
+        "import time, jax, jax.numpy as jnp\n"
+        "jax.config.update('jax_compilation_cache_dir',"
+        " '/tmp/fscl_tpu_jax_cache')\n"
+        "x = jnp.ones((256, 256))\n"
+        "f = jax.jit(lambda a: a @ a)\n"
+        "f(x).block_until_ready()\n"
+        "rtts = []\n"
+        "for _ in range(3):\n"
+        "    t = time.time(); float(jnp.sum(f(x)));"
+        " rtts.append(time.time() - t)\n"
+        "print('RTT', sorted(rtts)[1])\n")
+    try:
+        proc = subprocess.run([sys.executable, "-c", code],
+                              capture_output=True, text=True,
+                              timeout=timeout)
+        for line in proc.stdout.splitlines():
+            if line.startswith("RTT"):
+                return float(line.split()[1])
+    except Exception:
+        pass
+    return None
+
+
 def main():
     import jax
     jax.config.update("jax_compilation_cache_dir", "/tmp/fscl_tpu_jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
+
+    # transport gate: when the tunnel is degraded (observed 30,000x RTT
+    # inflation), every measurement below is transport-dominated — shrink
+    # the iteration counts so the bench still completes and emits honest
+    # (annotated) records instead of wedging past the driver's timeout
+    probe_rtt = _probe_transport()
+    if probe_rtt is None:
+        # not even one 256x256 readback inside the probe budget: the
+        # backend is down or wedged (observed 2026-08-17, 'UNAVAILABLE'
+        # after hours of degraded RTT). Running the bench anyway hangs for
+        # tens of minutes inside plugin retries — emit structured error
+        # records and stop.
+        for metric, unit in (
+                ("fastspeech2_train_steps_per_sec_full_size", "steps/s"),
+                ("few_shot_adaptation_inner_loop_steps_per_sec", "steps/s"),
+                ("fastspeech2_synthesis_mel_frames_per_sec_per_chip",
+                 "mel-frames/s")):
+            print(json.dumps({
+                "metric": metric, "value": None, "unit": unit,
+                "vs_baseline": None,
+                "error": "transport probe timed out: TPU backend "
+                         "unavailable or wedged"}))
+        return
+    degraded = probe_rtt > 0.5
 
     from fscl_tpu.core.config import ModelConfig, OptimConfig, SpeakerConfig
     from fscl_tpu.data.batch import Batch
@@ -89,14 +144,18 @@ def main():
     # Normal is a few ms; the tunnel has been observed degraded 1000x+
     # (BASELINE.md round 3) — when rtt is large, every number below is
     # dominated by transport, not the chip.
-    rtts = []
-    for _ in range(3):
-        t0 = time.time()
-        float(jnp.sum(mel_len))
-        rtts.append(time.time() - t0)
-    tunnel_rtt_ms = round(sorted(rtts)[1] * 1000, 1)
+    if degraded:
+        tunnel_rtt_ms = (round(probe_rtt * 1000, 1)
+                         if probe_rtt is not None else None)
+    else:
+        rtts = []
+        for _ in range(3):
+            t0 = time.time()
+            float(jnp.sum(mel_len))
+            rtts.append(time.time() - t0)
+        tunnel_rtt_ms = round(sorted(rtts)[1] * 1000, 1)
 
-    iters = 50
+    iters = 5 if degraded else 50
     t0 = time.time()
     for _ in range(iters):
         mel, mel_len = synth(*args)
@@ -121,26 +180,44 @@ def main():
     # bf16 activation policy is the benched default since round 3: measured
     # faster than f32 (65.1 vs 61.2 steps/s full-size) with a pinned
     # loss-parity test (tests/test_precision_parity.py; VERDICT r2 #2).
+    sub_timeout = 600 if degraded else 1200
+    train_iters = ", iters=5" if degraded else ""
     _emit_subprocess_metric(
         "fastspeech2_train_steps_per_sec_full_size", "steps/s",
         "from benchmarks.bench_train_precision import measure; import json; "
-        "r = measure('bfloat16'); r['metric'] = "
+        f"r = measure('bfloat16'{train_iters}); r['metric'] = "
         "'fastspeech2_train_steps_per_sec_full_size'; "
         "r['value'] = r.pop('steps_per_sec'); r['unit'] = 'steps/s'; "
-        "print(json.dumps(r))")
+        "print(json.dumps(r))", timeout=sub_timeout)
     _emit_subprocess_metric(
         "few_shot_adaptation_inner_loop_steps_per_sec", "steps/s",
         "import benchmarks.bench_adaptation as ba; import json; "
-        "print(json.dumps(ba.main(emit=False)))")
+        "print(json.dumps(ba.main(emit=False)))", timeout=sub_timeout)
 
-    print(json.dumps({
+    rec = {
         "metric": "fastspeech2_synthesis_mel_frames_per_sec_per_chip",
         "value": round(value, 1),
         "unit": "mel-frames/s",
         "vs_baseline": round(vs, 2) if vs is not None else None,
         "tunnel_rtt_ms": tunnel_rtt_ms,
-    }))
+    }
+    if degraded:
+        rec["transport_degraded"] = True
+    print(json.dumps(rec))
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as e:  # pragma: no cover — tunnel/backend outage
+        # the driver parses the LAST JSON line; a structured error record
+        # beats a bare traceback when the tunneled TPU backend is down
+        # (observed 2026-08-17: 'Unable to initialize backend axon:
+        # UNAVAILABLE' after hours of degraded RTT)
+        import traceback
+        traceback.print_exc()
+        print(json.dumps({
+            "metric": "fastspeech2_synthesis_mel_frames_per_sec_per_chip",
+            "value": None, "unit": "mel-frames/s", "vs_baseline": None,
+            "error": str(e)[:300],
+        }))
