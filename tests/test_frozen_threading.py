@@ -103,3 +103,74 @@ def test_checkpoint_excludes_frozen_and_roundtrips(fscl_and_state, tmp_path):
     step = jax.jit(system.train_step)
     state3, metrics = step(state2, episode, jax.random.PRNGKey(2))
     assert np.isfinite(float(metrics["Total Loss"]))
+
+
+def test_e2e_tune_u2s_threaded_not_embedded():
+    """Round-3 regression: E2ETuneSystem used to close over the frozen u2s
+    FastSpeech2 params inside the jitted tune step, baking them into the
+    HLO as literal constants (same failure class as the upstream capture
+    above). Pin that they now travel in TrainState.frozen."""
+    import jax
+
+    from fscl_tpu.core.config import (
+        ModelConfig, OptimConfig, SpeakerConfig, TransformerConfig,
+    )
+    from fscl_tpu.data.batch import Batch
+    from fscl_tpu.models.tacotron2_t2u import T2UConfig
+    from fscl_tpu.systems.baseline import BaselineSystem
+    from fscl_tpu.systems.t2u import T2UBatch
+    from fscl_tpu.systems.t2u_tune import E2EBatch, E2ETuneSystem
+
+    rng = np.random.default_rng(3)
+    # u2s big enough (~1M params) that literal embedding would blow the
+    # HLO-text bound below
+    u2s_cfg = ModelConfig(
+        transformer=TransformerConfig(
+            encoder_layer=1, decoder_layer=1, encoder_hidden=128,
+            decoder_hidden=128, conv_filter_size=512),
+        speaker=SpeakerConfig(n_speakers=4), max_seq_len=32)
+    tcfg = T2UConfig(
+        n_units=12, d_unit=16, symbols_embedding_dim=16,
+        encoder_embedding_dim=32, prenet_dim=16, attention_rnn_dim=32,
+        decoder_rnn_dim=32, attention_dim=16,
+        attention_location_n_filters=4, attention_location_kernel_size=7)
+    B, L, TU, T = 2, 6, 8, 16
+    dur = np.full((B, TU), 2, np.int32)
+    u2s_b = Batch(
+        speaker_args=np.zeros(B, np.int32),
+        texts=rng.integers(1, tcfg.n_units, (B, TU)).astype(np.int32),
+        src_lens=np.full((B,), TU, np.int32),
+        mels=rng.normal(size=(B, T, 80)).astype(np.float32),
+        mel_lens=np.full((B,), T, np.int32),
+        pitches=rng.normal(size=(B, TU)).astype(np.float32),
+        energies=rng.normal(size=(B, TU)).astype(np.float32),
+        durations=dur, lang_ids=np.zeros(B, np.int32))
+    u2s = BaselineSystem(u2s_cfg, OptimConfig(), (("unit", tcfg.n_units),))
+    u2s_state = u2s.init_state(jax.random.PRNGKey(0), u2s_b)
+    n_u2s = sum(np.asarray(x).size for x in
+                jax.tree_util.tree_leaves(u2s_state.params))
+    assert n_u2s > 500_000
+
+    t2u_b = T2UBatch(
+        speaker_args=np.zeros(B, np.int32),
+        texts=rng.integers(1, 10, (B, L)).astype(np.int32),
+        src_lens=np.full((B,), L, np.int32),
+        units=u2s_b.texts, unit_lens=np.full((B,), TU, np.int32),
+        lang_ids=np.zeros(B, np.int32))
+    batch = E2EBatch(t2u=t2u_b, u2s=u2s_b)
+    model_cfg = ModelConfig(
+        transformer=TransformerConfig(
+            encoder_layer=1, decoder_layer=1, encoder_hidden=32,
+            decoder_hidden=32, conv_filter_size=32),
+        speaker=SpeakerConfig(n_speakers=4), max_seq_len=16)
+    system = E2ETuneSystem(model_cfg, OptimConfig(), (("en", 10),), tcfg,
+                           u2s, u2s_state.params, u2s_state.batch_stats,
+                           u2s_symbol_id="unit")
+    state = system.init_state(jax.random.PRNGKey(1), batch)
+    assert state.frozen is not None and "u2s" in state.frozen
+
+    hlo = jax.jit(system.train_step).lower(
+        state, batch, jax.random.PRNGKey(2)).as_text()
+    assert len(hlo) < 5_000_000, (
+        f"E2E tune HLO is {len(hlo)/1e6:.1f} MB - the frozen u2s params "
+        "are being embedded as literal constants again")
