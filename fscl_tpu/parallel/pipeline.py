@@ -118,3 +118,37 @@ def pipeline_upstream_features(upstream, params, wavs, wav_valid, mesh,
     hidden = jnp.concatenate([x[:, :, None], ys], axis=2)
     return (jax.lax.stop_gradient(hidden.astype(jnp.float32)),
             frame_valid)
+
+
+def attach_parallel_upstream(system, mode: str, mesh, axis: str = "model",
+                             n_micro: int | None = None):
+    """Install a parallel schedule for a system's frozen-upstream forward.
+
+    Every SSL system's `extract_ssl` dispatches through the optional
+    `system.upstream_forward` hook (falling back to the monolithic
+    `frozen_upstream_features`); this binds that hook to the pipeline- or
+    sequence-parallel schedule over `mesh[axis]`, so meta-training /
+    PR / T2U steps run their dominant FLOPs sharded without any change to
+    the training code. `mode` is "pp" (parallel/pipeline.py) or "sp"
+    (parallel/sequence_parallel.py); "none" removes the hook."""
+    if mode == "none":
+        system.upstream_forward = None
+        return system
+    if mode == "pp":
+        def fwd(upstream, params, wavs, valid, compute_dtype="float32"):
+            return pipeline_upstream_features(
+                upstream, params, wavs, valid, mesh, axis=axis,
+                n_micro=n_micro, compute_dtype=compute_dtype)
+    elif mode == "sp":
+        from fscl_tpu.parallel.sequence_parallel import (
+            sequence_parallel_upstream_features,
+        )
+
+        def fwd(upstream, params, wavs, valid, compute_dtype="float32"):
+            return sequence_parallel_upstream_features(
+                upstream, params, wavs, valid, mesh, axis=axis,
+                compute_dtype=compute_dtype)
+    else:
+        raise ValueError(f"unknown upstream parallel mode: {mode!r}")
+    system.upstream_forward = fwd
+    return system

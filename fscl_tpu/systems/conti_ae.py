@@ -67,7 +67,9 @@ class ContiAESystem(System):
         if upstream_params is None:
             upstream_params = self.upstream_params
         valid = length_mask(wav_lens, wavs.shape[-1])
-        hidden, frame_valid = frozen_upstream_features(
+        fwd = getattr(self, "upstream_forward", None) \
+            or frozen_upstream_features
+        hidden, frame_valid = fwd(
             self.upstream, upstream_params, wavs, valid,
             self.model_cfg.upstream.compute_dtype)
         return hidden[:, :, self.layer_idx], frame_valid

@@ -89,15 +89,18 @@ class TransEmbSystem(System):
         at TransEmbOrig.py:60). Pass `upstream_params` (from
         TrainState.frozen) inside jitted steps so the weights stay a
         runtime argument; the host-side fallback closes over
-        self.upstream_params."""
+        self.upstream_params. `self.upstream_forward` (set by
+        parallel.pipeline.attach_parallel_upstream) swaps in a pipeline-
+        or sequence-parallel schedule."""
         from fscl_tpu.models.hubert import frozen_upstream_features
         if upstream_params is None:
             upstream_params = self.upstream_params
         assert upstream_params is not None, "init_upstream first"
         valid = length_mask(wav_lens, wavs.shape[-1])
-        return frozen_upstream_features(
-            self.upstream, upstream_params, wavs, valid,
-            self.model_cfg.upstream.compute_dtype)
+        fwd = getattr(self, "upstream_forward", None) \
+            or frozen_upstream_features
+        return fwd(self.upstream, upstream_params, wavs, valid,
+                   self.model_cfg.upstream.compute_dtype)
 
     # -- episode embedding table ----------------------------------------------
     def build_embedding_table(self, params, ssl_hidden, sup: SupInfo,

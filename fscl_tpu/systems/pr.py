@@ -76,9 +76,10 @@ class _SSLPRBase(System):
             upstream_params = self.upstream_params
         assert upstream_params is not None
         valid = length_mask(wav_lens, wavs.shape[-1])
-        return frozen_upstream_features(
-            self.upstream, upstream_params, wavs, valid,
-            self.model_cfg.upstream.compute_dtype)
+        fwd = getattr(self, "upstream_forward", None) \
+            or frozen_upstream_features
+        return fwd(self.upstream, upstream_params, wavs, valid,
+                   self.model_cfg.upstream.compute_dtype)
 
     def frame_labels(self, batch: PRBatch, n_frames: int):
         return gather_frame_labels(batch.phonemes, batch.avg_frames, n_frames)

@@ -147,9 +147,10 @@ class TransEmbT2USystem(System):
             upstream_params = self.upstream_params
         assert upstream_params is not None
         valid = length_mask(wav_lens, wavs.shape[-1])
-        return frozen_upstream_features(
-            self.upstream, upstream_params, wavs, valid,
-            self.model_cfg.upstream.compute_dtype)
+        fwd = getattr(self, "upstream_forward", None) \
+            or frozen_upstream_features
+        return fwd(self.upstream, upstream_params, wavs, valid,
+                   self.model_cfg.upstream.compute_dtype)
 
     def frame_features(self, params, ssl_hidden, frame_valid):
         """Frame-level features the phoneme queries are averaged from —

@@ -80,3 +80,73 @@ def test_pipeline_rejects_bad_split():
     mesh = _mesh(2)
     with pytest.raises(ValueError, match="not divisible"):
         pipeline_upstream_features(up, params, wavs, valid, mesh)
+
+
+@pytest.mark.parametrize("mode", ["pp", "sp"])
+def test_fscl_episode_with_parallel_upstream(mode):
+    """attach_parallel_upstream: a full FSCL episode train step with the
+    pipeline-/sequence-parallel upstream produces the same loss and the
+    same parameter update as the monolithic forward."""
+    import jax
+
+    from fscl_tpu.core.config import (
+        CodebookConfig, ModelConfig, OptimConfig, SpeakerConfig,
+        TransformerConfig, UpstreamConfig,
+    )
+    from fscl_tpu.data.batch import Batch, SupInfo
+    from fscl_tpu.parallel.pipeline import attach_parallel_upstream
+    from fscl_tpu.systems.fscl import Episode, TransEmbSystem
+
+    mesh = _mesh(2)
+    n_sym = 12
+    cfg = ModelConfig(
+        transformer=TransformerConfig(
+            encoder_layer=1, decoder_layer=1, encoder_hidden=32,
+            decoder_hidden=32, conv_filter_size=32, encoder_dropout=0.0,
+            decoder_dropout=0.0),
+        codebook=CodebookConfig(size=4, num_heads=2, dim=32),
+        # UpstreamConfig.n_layers counts the conv output; 3 -> 2
+        # transformer layers, divisible by the 2 pipeline stages
+        upstream=UpstreamConfig(name="tiny", dim=16, n_layers=3),
+        max_seq_len=32, speaker=SpeakerConfig(n_speakers=4))
+    system = TransEmbSystem(cfg, OptimConfig(), n_sym)
+
+    rng = np.random.default_rng(7)
+    S, B, L, T, W = 2, 2, 8, 24, 8000
+    dur = rng.integers(1, 3, (B, L)).astype(np.int32)
+    episode = Episode(
+        sup=SupInfo(
+            wavs=(rng.normal(size=(S, W)).astype(np.float32) * 0.2),
+            wav_lens=np.array([W, W // 2], np.int32),
+            avg_frames=rng.integers(1, 4, (S, L)).astype(np.int32),
+            phonemes=rng.integers(1, n_sym, (S, L)).astype(np.int32),
+            n_symbols=n_sym),
+        qry=Batch(
+            speaker_args=np.zeros(B, np.int32),
+            texts=rng.integers(1, n_sym, (B, L)).astype(np.int32),
+            src_lens=np.full((B,), L, np.int32),
+            mels=rng.normal(size=(B, T, 80)).astype(np.float32),
+            mel_lens=np.minimum(dur.sum(1), T).astype(np.int32),
+            pitches=rng.normal(size=(B, L)).astype(np.float32),
+            energies=rng.normal(size=(B, L)).astype(np.float32),
+            durations=dur, lang_ids=np.zeros(B, np.int32)))
+
+    state = system.init_state(jax.random.PRNGKey(0), episode)
+    s_ref, m_ref = jax.jit(system.train_step)(
+        state, episode, jax.random.PRNGKey(1))
+
+    attach_parallel_upstream(system, mode, mesh)
+    s_par, m_par = jax.jit(system.train_step)(
+        state, episode, jax.random.PRNGKey(1))
+    np.testing.assert_allclose(float(m_par["Total Loss"]),
+                               float(m_ref["Total Loss"]),
+                               rtol=1e-4, atol=1e-5)
+    deltas = jax.tree_util.tree_map(
+        lambda a, b: float(np.max(np.abs(np.asarray(a) - np.asarray(b)))),
+        s_ref.params, s_par.params)
+    assert max(jax.tree_util.tree_leaves(deltas)) < 1e-4
+
+    attach_parallel_upstream(system, "none", mesh)
+    assert system.upstream_forward is None
+    with pytest.raises(ValueError, match="unknown upstream parallel"):
+        attach_parallel_upstream(system, "bogus", mesh)
