@@ -42,6 +42,14 @@ def main(argv=None):
     t.add_argument("--pretrain_ckpt", default=None)
     t.add_argument("--resume", action="store_true")
     t.add_argument("--n_devices", type=int, default=None)
+    t.add_argument("--upstream_parallel", choices=["none", "pp", "sp"],
+                   default="none",
+                   help="shard the frozen SSL upstream over the model mesh "
+                        "axis: pp = GPipe pipeline stages, sp = "
+                        "sequence-parallel frames (docs/multihost.md)")
+    t.add_argument("--n_model", type=int, default=None,
+                   help="model-axis size for --upstream_parallel "
+                        "(default 2 when a parallel mode is chosen)")
     t.add_argument("--use_tracker", action="store_true",
                    help="experiment tracking under exp_dir/experiments "
                         "(the reference's --use_comet role, offline)")

@@ -143,8 +143,20 @@ def run(args):
         state = mgr.restore_into(state)
 
     mesh = None
-    if args.n_devices and args.n_devices > 1:
-        mesh = make_mesh(n_data=args.n_devices)
+    up_parallel = getattr(args, "upstream_parallel", "none") or "none"
+    n_model = (getattr(args, "n_model", None) or 1) \
+        if up_parallel == "none" else max(
+            getattr(args, "n_model", None) or 2, 2)
+    if (args.n_devices and args.n_devices > 1) or n_model > 1:
+        mesh = make_mesh(n_data=args.n_devices, n_model=n_model)
+    if up_parallel != "none":
+        # pipeline-/sequence-parallel frozen upstream over the model axis
+        # (docs/multihost.md "Choosing a parallel mode"); the jitted step
+        # is unchanged — extract_ssl dispatches through the hook
+        from fscl_tpu.parallel.pipeline import attach_parallel_upstream
+        attach_parallel_upstream(system, up_parallel, mesh)
+        print(f"[parallel] frozen upstream {up_parallel} over "
+              f"{mesh.shape['model']} model-axis devices")
 
     callbacks = [
         LossTableLogger(os.path.join(args.exp_dir, "log")),

@@ -240,3 +240,34 @@ def test_cli_rehearse_pr_flow(tmp_path):
     assert results
     infos = json.loads(results[0].read_text())
     assert {"gt", "pred", "gt_segment", "pred_segment"} <= set(infos[0])
+
+
+@pytest.mark.slow
+def test_cli_train_fscl_upstream_parallel(cli_corpus, tmp_path):
+    """`train --system fscl-orig --upstream_parallel pp --n_model 2`: the
+    frozen upstream runs as a 2-stage pipeline over the model mesh axis
+    (attach_parallel_upstream wired through the CLI)."""
+    with open(cli_corpus / "pp_model.yaml", "w") as f:
+        f.write(
+            "transformer:\n  encoder_layer: 1\n  decoder_layer: 1\n"
+            "  encoder_hidden: 32\n  decoder_hidden: 32\n"
+            "  conv_filter_size: 32\n  encoder_head: 2\n  decoder_head: 2\n"
+            "max_seq_len: 64\n"
+            # n_layers counts the conv output: 3 -> 2 transformer layers,
+            # divisible by the 2 pipeline stages
+            "upstream:\n  name: tiny\n  dim: 16\n  n_layers: 3\n"
+            "codebook:\n  size: 8\n  nhead: 2\n")
+    exp = str(tmp_path / "exp_pp")
+    env = {**ENV, "XLA_FLAGS": "--xla_force_host_platform_device_count=2"}
+    r = subprocess.run(
+        [sys.executable, "-m", "fscl_tpu.cli", "train",
+         "--system", "fscl-orig",
+         "--data_config", str(cli_corpus / "data.yaml"),
+         "--model_config", str(cli_corpus / "pp_model.yaml"),
+         "--exp_dir", exp, "--total_step", "1",
+         "--upstream_parallel", "pp", "--n_model", "2"],
+        capture_output=True, text=True, timeout=420, env=env, cwd=REPO)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "[parallel] frozen upstream pp over 2 model-axis devices" \
+        in r.stdout
+    assert "done at step 1" in r.stdout
