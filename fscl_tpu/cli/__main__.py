@@ -50,6 +50,9 @@ def main(argv=None):
     t.add_argument("--n_model", type=int, default=None,
                    help="model-axis size for --upstream_parallel "
                         "(default 2 when a parallel mode is chosen)")
+    t.add_argument("--debug", action="store_true",
+                   help="print the model structure and cap the run to 2 "
+                        "steps (reference main.py --debug)")
     t.add_argument("--use_tracker", action="store_true",
                    help="experiment tracking under exp_dir/experiments "
                         "(the reference's --use_comet role, offline)")

@@ -133,6 +133,25 @@ def run(args):
 
     state = system.init_state(jax.random.PRNGKey(train_cfg.seed), example)
 
+    if getattr(args, "debug", False):
+        # reference --debug harness (main.py:45-49, system.py:32-36):
+        # print the model structure and cap the run to a couple of steps
+        import dataclasses as _dc
+        print(f"[debug] system={args.system} "
+              f"batch={type(example).__name__}")
+        for coll in ("params", "frozen"):
+            tree = getattr(state, coll, None)
+            if not tree:
+                continue
+            for top, sub in tree.items():
+                n = sum(int(np.prod(np.shape(x)))
+                        for x in jax.tree_util.tree_leaves(sub))
+                print(f"[debug]   {coll}/{top}: {n:,} params")
+        train_cfg = _dc.replace(
+            train_cfg, total_step=min(train_cfg.total_step, 2),
+            log_step=1, val_step=10**9, synth_step=10**9, save_step=10**9)
+        print(f"[debug] total_step capped to {train_cfg.total_step}")
+
     ckpt_dir = os.path.join(args.exp_dir, "ckpt")
     strip = ("upstream",) if need_ssl else ()
     mgr = CheckpointManager(ckpt_dir, strip_prefixes=strip, max_to_keep=5)
