@@ -676,6 +676,20 @@ def run_t2u(args):
     report["synth_frames_per_s"] = (
         report["synth_frames"] / phases.times["synthesis"])
 
+    if args.write_wavs:
+        # render the CHAINED (text -> units -> mel) outputs to audio via
+        # Griffin-Lim, mirroring the fscl flow's vocode phase
+        with phases("vocode"):
+            from fscl_tpu.audio_out.vocoder import griffin_lim
+            from fscl_tpu.dsp.audio_io import save_wav
+            wav_dir = os.path.join(args.exp_dir, "wavs")
+            os.makedirs(wav_dir, exist_ok=True)
+            for i in range(len(chained_mels)):
+                n = max(int(chained_lens[i]), 1)
+                wav = np.asarray(griffin_lim(chained_mels[i][:n]))
+                save_wav(os.path.join(wav_dir, f"{i:04d}.wav"), wav, 22050)
+            report["wav_dir"] = wav_dir
+
     # ---- 8. eval: unit PER + chained / teacher-forced MCD ------------------
     with phases("eval"):
         unit_store = target_store.get_ssl_unit_store(unit_name)
