@@ -150,3 +150,68 @@ def test_fscl_episode_with_parallel_upstream(mode):
     assert system.upstream_forward is None
     with pytest.raises(ValueError, match="unknown upstream parallel"):
         attach_parallel_upstream(system, "bogus", mesh)
+
+
+def test_dp_x_pp_composition():
+    """DP over the data axis x pipelined upstream over the model axis, in
+    ONE train step (the realistic episodic-meta-training deployment):
+    batch-sharded pjit outer program, GPipe shard_map inner program, loss
+    equal to the single-device step."""
+    import jax
+
+    from fscl_tpu.core.config import (
+        CodebookConfig, ModelConfig, OptimConfig, SpeakerConfig,
+        TransformerConfig, UpstreamConfig,
+    )
+    from fscl_tpu.data.batch import Batch, SupInfo
+    from fscl_tpu.parallel.mesh import make_mesh, replicate
+    from fscl_tpu.parallel.pipeline import attach_parallel_upstream
+    from fscl_tpu.systems.fscl import Episode, TransEmbSystem
+    from fscl_tpu.train.trainer import make_parallel_train_step, place_batch
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    n_sym = 12
+    cfg = ModelConfig(
+        transformer=TransformerConfig(
+            encoder_layer=1, decoder_layer=1, encoder_hidden=32,
+            decoder_hidden=32, conv_filter_size=32, encoder_dropout=0.0,
+            decoder_dropout=0.0),
+        codebook=CodebookConfig(size=4, num_heads=2, dim=32),
+        # 5 -> 4 transformer layers, divisible by the 4 pipeline stages
+        upstream=UpstreamConfig(name="tiny", dim=16, n_layers=5),
+        max_seq_len=32, speaker=SpeakerConfig(n_speakers=4))
+    system = TransEmbSystem(cfg, OptimConfig(), n_sym)
+
+    rng = np.random.default_rng(9)
+    S, B, L, T, W = 4, 2, 8, 24, 8000
+    dur = rng.integers(1, 3, (B, L)).astype(np.int32)
+    episode = Episode(
+        sup=SupInfo(
+            wavs=(rng.normal(size=(S, W)).astype(np.float32) * 0.2),
+            wav_lens=np.full((S,), W, np.int32),
+            avg_frames=rng.integers(1, 4, (S, L)).astype(np.int32),
+            phonemes=rng.integers(1, n_sym, (S, L)).astype(np.int32),
+            n_symbols=n_sym),
+        qry=Batch(
+            speaker_args=np.zeros(B, np.int32),
+            texts=rng.integers(1, n_sym, (B, L)).astype(np.int32),
+            src_lens=np.full((B,), L, np.int32),
+            mels=rng.normal(size=(B, T, 80)).astype(np.float32),
+            mel_lens=np.minimum(dur.sum(1), T).astype(np.int32),
+            pitches=rng.normal(size=(B, L)).astype(np.float32),
+            energies=rng.normal(size=(B, L)).astype(np.float32),
+            durations=dur, lang_ids=np.zeros(B, np.int32)))
+
+    state = system.init_state(jax.random.PRNGKey(0), episode)
+    ref = float(jax.jit(system.train_step)(
+        state, episode, jax.random.PRNGKey(1))[1]["Total Loss"])
+
+    mesh = make_mesh(n_data=2, n_model=4)
+    attach_parallel_upstream(system, "pp", mesh, n_micro=2)
+    st = replicate(state, mesh)
+    step = make_parallel_train_step(system, mesh)
+    st2, metrics = step(st, place_batch(episode, mesh),
+                        jax.random.PRNGKey(1))
+    np.testing.assert_allclose(float(metrics["Total Loss"]), ref,
+                               rtol=1e-4, atol=1e-5)
