@@ -68,3 +68,25 @@ def test_sp_int16_wire():
     scale = float(np.abs(np.asarray(ref)).max())
     assert float(np.abs((np.asarray(out) - np.asarray(ref)) * m).max()) \
         < 2e-3 * scale
+
+
+def test_sp_and_pp_bf16_match_monolithic_bf16():
+    """compute_dtype="bfloat16" through the parallel schedules matches the
+    monolithic bf16 forward (same casts, same stop-gradient boundary)."""
+    from fscl_tpu.parallel.pipeline import pipeline_upstream_features
+
+    up, params, wavs, valid = _upstream_and_inputs(n_layers=4)
+    mesh = _mesh(2)
+    ref, fv = frozen_upstream_features(up, params, wavs, valid, "bfloat16")
+    m = np.asarray(fv)[:, :, None, None]
+    scale = float(np.abs(np.asarray(ref)).max())
+    for fn in (pipeline_upstream_features,
+               sequence_parallel_upstream_features):
+        out, _ = jax.jit(
+            lambda p, w, v, fn=fn: fn(up, p, w, v, mesh,
+                                      compute_dtype="bfloat16")
+        )(params, wavs, valid)
+        err = float(np.abs((np.asarray(out) - np.asarray(ref)) * m).max())
+        # bf16 accumulation orders differ across the schedules; bound by
+        # a few bf16 ulps of the output scale
+        assert err < 3e-2 * scale, (fn.__name__, err, scale)
