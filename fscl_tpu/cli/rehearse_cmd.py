@@ -772,6 +772,24 @@ def run_pr(args):
          for dc in meta_cfgs + [target_cfg]}))
     system = SSLProtoNetSystem(model_cfg, optim, id2symbols)
     with phases("pr-train"):
+        # pack an FSCL shard per corpus: PR episodes carry raw wavs on
+        # BOTH sides, so episode assembly is host-prep-bound exactly like
+        # FSCL meta-training; the datamodule auto-prefers the shard
+        from fscl_tpu.data.feature_store import (
+            FeatureStore, read_queries_from_txt,
+        )
+        from fscl_tpu.data.shards import (
+            PackedShard, pack_fscl_split_from_store,
+        )
+        for dc in meta_cfgs:
+            split = dc.subset_path("train")
+            sp = split + ".fscl.shard"
+            n_expected = len(read_queries_from_txt(split))
+            if not (os.path.isfile(sp) and
+                    len(PackedShard(sp)) == n_expected):
+                pack_fscl_split_from_store(
+                    split, FeatureStore(dc.data_dir), dc, model_cfg, sp,
+                    upstream=model_cfg.upstream.name)
         train_cfg = TrainConfig(optim=optim, seed=43)
         dm = PREpisodicDataModule(meta_cfgs, model_cfg, train_cfg,
                                   shots=args.shots, queries=args.queries)

@@ -400,9 +400,21 @@ class PREpisodicDataModule(BaseDataModule):
         self.datasets = []
         for dc in self.data_configs:
             path = dc.subset_path("train")
-            if path and os.path.isfile(path):
-                self.datasets.append(
-                    (dc, PRDataset(path, self.stores[dc.name], dc)))
+            if not (path and os.path.isfile(path)):
+                continue
+            ds = PRDataset(path, self.stores[dc.name], dc)
+            # a packed FSCL shard next to the split carries everything a
+            # PR episode needs (wavs + phonemes + avg_frames at the 20 ms
+            # SSL frame rate) — prefer its native single-call batch reads
+            # (data/shards.py collate_pr_episode); stale shards rejected
+            shard = None
+            sp = path + ".fscl.shard"
+            if os.path.isfile(sp):
+                from fscl_tpu.data.shards import PackedShard
+                sh = PackedShard(sp)
+                if len(sh) == len(ds):
+                    shard = sh
+            self.datasets.append((dc, ds, shard))
 
     def _collate_pr(self, dc, samples):
         from fscl_tpu.data.batch import TEXT_BUCKETS, bucket_len, pad_1d
@@ -426,12 +438,21 @@ class PREpisodicDataModule(BaseDataModule):
 
     def train_batches(self):
         from fscl_tpu.data.episodic import split_sup_qry
+        from fscl_tpu.frontend import n_symbols as n_sym_of
         from fscl_tpu.systems.pr import PREpisode
         rng = np.random.default_rng(self.train_cfg.seed)
         k = self.shots + self.queries
         while True:
-            dc, ds = self.datasets[int(rng.integers(0, len(self.datasets)))]
-            samples = [ds[int(i)] for i in rng.integers(0, len(ds), k)]
+            dc, ds, shard = self.datasets[
+                int(rng.integers(0, len(self.datasets)))]
+            idxs = rng.integers(0, len(ds), k)
+            if shard is not None:
+                yield shard.collate_pr_episode(
+                    idxs, self.shots, self.queries,
+                    symbol_id=dc.symbol_id,
+                    n_symbols=n_sym_of(dc.symbol_id))
+                continue
+            samples = [ds[int(i)] for i in idxs]
             sup_ids, qry_ids = split_sup_qry(samples, self.shots, self.queries)
             yield PREpisode(
                 sup=self._collate_pr(dc, [samples[i] for i in sup_ids]),

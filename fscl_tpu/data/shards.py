@@ -325,6 +325,46 @@ def _episode_methods():
                               energy_feature=energy_feature)
         return Episode(sup=sup, qry=qry, sup_batch=None)
 
+    def collate_pr_episode(self, idxs, shots: int, queries: int,
+                           symbol_id: str = "en", n_symbols: int = 0):
+        """Shard-backed PR episode (PREpisodicDataModule semantics):
+        coverage split on the phoneme arrays, support AND query PRBatches
+        with native single-call wav reads — PR episodic training carries
+        raw wavs on both sides, so it is host-prep-bound exactly like the
+        FSCL meta-train phase the shard format was built for. avg_frames
+        in FSCL shards are 20 ms SSL-frame counts (FSCLDataset fp=0.02,
+        non-mel upstreams only), matching PRDataset's segmentation."""
+        from fscl_tpu.data.batch import TEXT_BUCKETS, bucket_len, pad_1d
+        from fscl_tpu.data.episodic import WAV_BUCKETS, split_sup_qry
+        from fscl_tpu.systems.pr import PRBatch, PREpisode
+
+        assert "raw_feat" in self.index.get("features", {}), (
+            "not an FSCL shard (pack with pack_fscl_split_from_store)")
+        recs = [self.records[int(i)] for i in idxs]
+        phonemes = [self._read_numpy(r, "phonemes") for r in recs]
+        avg_frames = [self._read_numpy(r, "avg_frames") for r in recs]
+        sup_ids, qry_ids = split_sup_qry(
+            [{"phonemes": p} for p in phonemes], shots, queries)
+        lang_id = int(self.index.get("meta", {}).get("lang_id", 0))
+
+        def batch(ids):
+            rs = [recs[i] for i in ids]
+            wav_lens = np.array(
+                [r["offsets"]["raw_feat"][1][0] for r in rs], np.int32)
+            W = bucket_len(int(wav_lens.max()), WAV_BUCKETS)
+            L = bucket_len(max(len(phonemes[i]) for i in ids), TEXT_BUCKETS)
+            return PRBatch(
+                wavs=self._read_rows(rs, "raw_feat", W, np.float32),
+                wav_lens=np.minimum(wav_lens, W),
+                avg_frames=pad_1d([avg_frames[i] for i in ids], L,
+                                  dtype=np.int32),
+                phonemes=pad_1d([phonemes[i] for i in ids], L,
+                                dtype=np.int32),
+                lang_ids=np.full((len(ids),), lang_id, np.int32),
+                n_symbols=n_symbols, symbol_id=symbol_id)
+
+        return PREpisode(sup=batch(sup_ids), qry=batch(qry_ids))
+
     def _read_rows(self, recs, name, maxlen, dtype):
         """B 1-D arrays -> zero-padded (B, maxlen); native single-call
         read when available."""
@@ -344,6 +384,7 @@ def _episode_methods():
         return out
 
     PackedShard.collate_episode = collate_episode
+    PackedShard.collate_pr_episode = collate_pr_episode
     PackedShard._read_rows = _read_rows
 
 

@@ -337,3 +337,60 @@ def test_int16_wav_wire_matches_f32_at_bf16():
     scale = np.abs(a).max()
     assert np.abs(a - b).max() < 2e-2 * scale, (
         np.abs(a - b).max(), scale)
+
+
+def test_pr_episode_shard(tmp_path):
+    """PR episodes from an FSCL shard equal the PRDataset collate path on
+    the same samples (same coverage split, same bucketing), and the PR
+    episodic datamodule auto-prefers the shard."""
+    from fscl_tpu.core.config import (
+        ModelConfig, OptimConfig, TrainConfig, read_data_config,
+    )
+    from fscl_tpu.data.datamodules import PREpisodicDataModule
+    from fscl_tpu.data.datasets import PRDataset
+    from fscl_tpu.data.episodic import split_sup_qry
+    from fscl_tpu.data.feature_store import FeatureStore
+    from fscl_tpu.data.scripts import make_synthetic_corpus
+    from fscl_tpu.data.shards import PackedShard, pack_fscl_split_from_store
+    from fscl_tpu.frontend import n_symbols as n_sym_of
+    from fscl_tpu.systems.pr import PREpisode
+
+    cfg_path = make_synthetic_corpus(str(tmp_path / "corpus"), n_utts=10,
+                                     seed=11)
+    dc = read_data_config(cfg_path)
+    model_cfg = ModelConfig()
+    store = FeatureStore(dc.data_dir)
+    split = dc.subset_path("train")
+    shard_path = split + ".fscl.shard"
+    pack_fscl_split_from_store(split, store, dc, model_cfg, shard_path)
+    shard = PackedShard(shard_path)
+
+    ds = PRDataset(split, store, dc)
+    idxs = list(range(6))
+    n_sym = n_sym_of(dc.symbol_id)
+    got = shard.collate_pr_episode(idxs, shots=4, queries=2,
+                                   symbol_id=dc.symbol_id, n_symbols=n_sym)
+    assert isinstance(got, PREpisode)
+
+    # reference: the python datamodule collate on the same split
+    samples = [ds[i] for i in idxs]
+    sup_ids, qry_ids = split_sup_qry(samples, 4, 2)
+    dm = PREpisodicDataModule([dc], model_cfg, TrainConfig(), shots=4,
+                              queries=2)
+    want_sup = dm._collate_pr(dc, [samples[i] for i in sup_ids])
+    want_qry = dm._collate_pr(dc, [samples[i] for i in qry_ids])
+    for got_b, want_b in ((got.sup, want_sup), (got.qry, want_qry)):
+        assert got_b.symbol_id == want_b.symbol_id
+        assert got_b.n_symbols == want_b.n_symbols
+        np.testing.assert_array_equal(got_b.phonemes, want_b.phonemes)
+        np.testing.assert_array_equal(got_b.avg_frames, want_b.avg_frames)
+        np.testing.assert_array_equal(got_b.wav_lens, want_b.wav_lens)
+        np.testing.assert_allclose(got_b.wavs, want_b.wavs, atol=1e-6)
+        np.testing.assert_array_equal(got_b.lang_ids, want_b.lang_ids)
+
+    # the datamodule picks the shard up automatically
+    dm.setup()
+    assert dm.datasets[0][2] is not None
+    ep = next(dm.train_batches())
+    assert isinstance(ep, PREpisode)
+    assert ep.sup.wavs.ndim == 2 and ep.sup.n_symbols == n_sym
