@@ -577,6 +577,20 @@ def run_t2u(args):
                     for dc in meta_cfgs + [target_cfg])
     fscl = TransEmbT2USystem(model_cfg, optim, n_symbols, t2u_cfg)
     with phases("meta-train"):
+        # pack an FSCL shard per meta corpus: the episodic loader serves
+        # the wav-heavy support side with native single-call reads
+        from fscl_tpu.data.shards import (
+            PackedShard, pack_fscl_split_from_store,
+        )
+        for dc in meta_cfgs:
+            split = dc.subset_path("train")
+            sp = split + ".fscl.shard"
+            n_expected = len(read_queries_from_txt(split))
+            if not (os.path.isfile(sp) and
+                    len(PackedShard(sp)) == n_expected):
+                pack_fscl_split_from_store(
+                    split, FeatureStore(dc.data_dir), dc, model_cfg, sp,
+                    upstream=model_cfg.upstream.name)
         edm = T2UEpisodicDataModule(
             meta_cfgs, model_cfg, train_cfg, shots=args.shots,
             queries=args.queries, upstream=model_cfg.upstream.name)

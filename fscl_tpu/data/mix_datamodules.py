@@ -123,7 +123,17 @@ class T2UEpisodicDataModule(BaseDataModule):
             fscl_ds = FSCLDataset(path, self.stores[dc.name], dc,
                                   self.model_cfg, upstream=self.upstream)
             unit_ds = UnitDataset(path, self.stores[dc.name], dc)
-            self.pairs.append((dc, fscl_ds, unit_ds))
+            # a fresh packed FSCL shard serves the wav-heavy SUPPORT side
+            # with native single-call reads (shards.py collate_fscl_sup);
+            # the unit-store query side stays python (tiny arrays)
+            shard = None
+            sp = path + ".fscl.shard"
+            if os.path.isfile(sp):
+                from fscl_tpu.data.shards import PackedShard
+                sh = PackedShard(sp)
+                if len(sh) == len(fscl_ds):
+                    shard = sh
+            self.pairs.append((dc, fscl_ds, unit_ds, shard))
 
     def train_batches(self):
         from fscl_tpu.data.episodic import collate_sup_info, split_sup_qry
@@ -131,13 +141,17 @@ class T2UEpisodicDataModule(BaseDataModule):
         rng = np.random.default_rng(self.train_cfg.seed)
         k = self.shots + self.queries
         while True:
-            dc, fscl_ds, unit_ds = self.pairs[
+            dc, fscl_ds, unit_ds, shard = self.pairs[
                 int(rng.integers(0, len(self.pairs)))]
             idxs = rng.integers(0, len(fscl_ds), k)
-            fscl_samples = [fscl_ds[int(i)] for i in idxs]
-            sup_ids, qry_ids = split_sup_qry(
-                fscl_samples, self.shots, self.queries)
-            sup = collate_sup_info([fscl_samples[i] for i in sup_ids])
+            if shard is not None:
+                sup, _, qry_ids = shard.collate_fscl_sup(
+                    idxs, self.shots, self.queries)
+            else:
+                fscl_samples = [fscl_ds[int(i)] for i in idxs]
+                sup_ids, qry_ids = split_sup_qry(
+                    fscl_samples, self.shots, self.queries)
+                sup = collate_sup_info([fscl_samples[i] for i in sup_ids])
             qry = _collate_t2u([unit_ds[int(idxs[i])] for i in qry_ids])
             yield T2UEpisode(sup=sup, qry=qry)
 

@@ -287,21 +287,33 @@ def _episode_methods():
         host->device transfer; frozen_upstream_features dequantizes on
         device) — lossless at bf16 upstream precision, use with
         UpstreamConfig.compute_dtype="bfloat16"."""
+        from fscl_tpu.systems.fscl import Episode
+
+        sup, _, qry_ids = self.collate_fscl_sup(idxs, shots, queries,
+                                                wav_dtype)
+        _, qry = self.collate([int(idxs[i]) for i in qry_ids],
+                              pitch_feature=pitch_feature,
+                              energy_feature=energy_feature)
+        return Episode(sup=sup, qry=qry, sup_batch=None)
+
+    def collate_fscl_sup(self, idxs, shots: int, queries: int,
+                         wav_dtype: str = "float32"):
+        """Coverage split + shard-native SupInfo only, returning
+        (sup, sup_ids, qry_ids) — for episodic loaders whose QUERY side
+        comes from elsewhere (T2U: units from the unit store) but whose
+        support side is the same wav-heavy SupInfo as FSCL."""
         from fscl_tpu.data.batch import (
             SupInfo, TEXT_BUCKETS, bucket_len, pad_1d,
         )
         from fscl_tpu.data.episodic import WAV_BUCKETS, split_sup_qry
-        from fscl_tpu.systems.fscl import Episode
 
         assert "raw_feat" in self.index.get("features", {}), (
             "not an FSCL shard (pack with pack_fscl_split_from_store)")
         recs = [self.records[int(i)] for i in idxs]
         phonemes = [self._read_numpy(r, "phonemes") for r in recs]
         avg_frames = [self._read_numpy(r, "avg_frames") for r in recs]
-        samples = [{"phonemes": p} for p in phonemes]
-        sup_ids, qry_ids = split_sup_qry(samples, shots, queries)
-
-        n_symbols = int(self.index.get("meta", {}).get("n_symbols", 0))
+        sup_ids, qry_ids = split_sup_qry(
+            [{"phonemes": p} for p in phonemes], shots, queries)
         sup_recs = [recs[i] for i in sup_ids]
         wav_lens = np.array(
             [r["offsets"]["raw_feat"][1][0] for r in sup_recs], np.int32)
@@ -310,20 +322,15 @@ def _episode_methods():
         if wav_dtype == "int16":
             wavs = np.clip(np.rint(wavs * 32768.0), -32768, 32767) \
                 .astype(np.int16)
-        L = bucket_len(max(len(phonemes[i]) for i in sup_ids),
-                       TEXT_BUCKETS)
+        L = bucket_len(max(len(phonemes[i]) for i in sup_ids), TEXT_BUCKETS)
         sup = SupInfo(
-            wavs=wavs,
-            wav_lens=np.minimum(wav_lens, W),
+            wavs=wavs, wav_lens=np.minimum(wav_lens, W),
             avg_frames=pad_1d([avg_frames[i] for i in sup_ids], L,
                               dtype=np.int32),
             phonemes=pad_1d([phonemes[i] for i in sup_ids], L,
                             dtype=np.int32),
-            n_symbols=n_symbols)
-        _, qry = self.collate([int(idxs[i]) for i in qry_ids],
-                              pitch_feature=pitch_feature,
-                              energy_feature=energy_feature)
-        return Episode(sup=sup, qry=qry, sup_batch=None)
+            n_symbols=int(self.index.get("meta", {}).get("n_symbols", 0)))
+        return sup, sup_ids, qry_ids
 
     def collate_pr_episode(self, idxs, shots: int, queries: int,
                            symbol_id: str = "en", n_symbols: int = 0):
@@ -384,6 +391,7 @@ def _episode_methods():
         return out
 
     PackedShard.collate_episode = collate_episode
+    PackedShard.collate_fscl_sup = collate_fscl_sup
     PackedShard.collate_pr_episode = collate_pr_episode
     PackedShard._read_rows = _read_rows
 

@@ -394,3 +394,37 @@ def test_pr_episode_shard(tmp_path):
     ep = next(dm.train_batches())
     assert isinstance(ep, PREpisode)
     assert ep.sup.wavs.ndim == 2 and ep.sup.n_symbols == n_sym
+
+
+def test_t2u_episode_shard_sup(tmp_path):
+    """T2U episodic loader serves the support side from an FSCL shard:
+    SupInfo identical to the python collate_sup_info path on the same
+    split indices."""
+    from fscl_tpu.core.config import ModelConfig, read_data_config
+    from fscl_tpu.data.datasets import FSCLDataset
+    from fscl_tpu.data.episodic import collate_sup_info, split_sup_qry
+    from fscl_tpu.data.feature_store import FeatureStore
+    from fscl_tpu.data.scripts import make_synthetic_corpus
+    from fscl_tpu.data.shards import PackedShard, pack_fscl_split_from_store
+
+    cfg_path = make_synthetic_corpus(str(tmp_path / "corpus"), n_utts=10,
+                                     seed=13)
+    dc = read_data_config(cfg_path)
+    model_cfg = ModelConfig()
+    store = FeatureStore(dc.data_dir)
+    split = dc.subset_path("train")
+    shard_path = split + ".fscl.shard"
+    pack_fscl_split_from_store(split, store, dc, model_cfg, shard_path)
+    shard = PackedShard(shard_path)
+
+    ds = FSCLDataset(split, store, dc, model_cfg)
+    idxs = list(range(6))
+    got_sup, got_sids, got_qids = shard.collate_fscl_sup(idxs, 4, 2)
+    samples = [ds[i] for i in idxs]
+    want_sids, want_qids = split_sup_qry(samples, 4, 2)
+    assert got_sids == want_sids and got_qids == want_qids
+    want_sup = collate_sup_info([samples[i] for i in want_sids])
+    np.testing.assert_array_equal(got_sup.phonemes, want_sup.phonemes)
+    np.testing.assert_array_equal(got_sup.avg_frames, want_sup.avg_frames)
+    np.testing.assert_array_equal(got_sup.wav_lens, want_sup.wav_lens)
+    np.testing.assert_allclose(got_sup.wavs, want_sup.wavs, atol=1e-6)
