@@ -52,6 +52,8 @@ def measure(compute_dtype: str, iters=50):
 
     system, state, batch, T = _build(compute_dtype)
     params, bs = state.params, state.batch_stats
+    from bench import pin_realistic_durations
+    params = pin_realistic_durations(params)
 
     @jax.jit
     def synth(t, s, sp, lg):

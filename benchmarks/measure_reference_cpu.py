@@ -127,6 +127,14 @@ def main():
     ap.add_argument("--len", type=int, default=128, dest="length")
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--threads", type=int, default=0)
+    ap.add_argument("--dur_bias", type=float, default=5.0,
+                    help="pin the duration head's output bias to "
+                         "log(DUR_BIAS) frames/phoneme so the untrained "
+                         "model predicts realistic speech lengths "
+                         "(~4-8 frames/phoneme at 22.05kHz hop 256) "
+                         "instead of ~0; 0 disables. The TPU bench "
+                         "applies the identical surgery "
+                         "(bench.py:pin_realistic_durations).")
     args = ap.parse_args()
 
     if args.threads:
@@ -170,6 +178,14 @@ def main():
         MODEL_CONFIG,
         spk_config={"emb_type": "table", "speakers": [f"s{i}" for i in range(64)]})
     model.eval()
+    if args.dur_bias:
+        # realistic synthesis lengths for an untrained model: without this
+        # the duration head predicts round(exp(~0)-1) = 0 frames/phoneme
+        # and the "synthesis" decodes ~95 frames per 8x128 batch
+        import math
+        with torch.no_grad():
+            model.variance_adaptor.duration_predictor.linear_layer.bias \
+                .fill_(math.log(args.dur_bias))
 
     B, L = args.batch, args.length
     g = torch.Generator().manual_seed(0)
