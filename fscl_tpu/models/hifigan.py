@@ -26,6 +26,7 @@ class ResBlock1(nn.Module):
     channels: int
     kernel_size: int = 3
     dilations: Tuple[int, ...] = (1, 3, 5)
+    dtype: object = None     # computation dtype; params stay f32
 
     @nn.compact
     def __call__(self, x):
@@ -33,10 +34,10 @@ class ResBlock1(nn.Module):
             h = _leaky(x)
             h = nn.Conv(self.channels, (self.kernel_size,),
                         kernel_dilation=(d,), padding="SAME",
-                        name=f"convs1_{i}")(h)
+                        dtype=self.dtype, name=f"convs1_{i}")(h)
             h = _leaky(h)
             h = nn.Conv(self.channels, (self.kernel_size,), padding="SAME",
-                        name=f"convs2_{i}")(h)
+                        dtype=self.dtype, name=f"convs2_{i}")(h)
             x = x + h
         return x
 
@@ -49,12 +50,17 @@ class HiFiGANGenerator(nn.Module):
     upsample_initial_channel: int = 512
     resblock_kernel_sizes: Tuple[int, ...] = (3, 7, 11)
     resblock_dilations: Tuple[Tuple[int, ...], ...] = ((1, 3, 5),) * 3
+    # computation dtype for the convs (params/outputs stay f32).
+    # bfloat16 roughly doubles serving throughput on TPU; measured waveform
+    # divergence vs f32 is ~1e-3 on a tanh-bounded signal
+    # (benchmarks/bench_e2e_tts.py --dtype A/B).
+    dtype: object = None
 
     @nn.compact
     def __call__(self, mel):
         """mel: (B, T, n_mels) log-mel -> wav (B, T * prod(rates))."""
         x = nn.Conv(self.upsample_initial_channel, (7,), padding="SAME",
-                    name="conv_pre")(mel)
+                    dtype=self.dtype, name="conv_pre")(mel)
         for i, (r, k) in enumerate(zip(self.upsample_rates,
                                        self.upsample_kernel_sizes)):
             x = _leaky(x)
@@ -62,17 +68,18 @@ class HiFiGANGenerator(nn.Module):
             # SAME == torch ConvTranspose1d(padding=(k-r)//2): exact output
             # length in*r and bit-identical values (verified vs torch)
             x = nn.ConvTranspose(ch, (k,), strides=(r,), padding="SAME",
-                                 transpose_kernel=True,
+                                 transpose_kernel=True, dtype=self.dtype,
                                  name=f"ups_{i}")(x)
             acc = None
             for j, (rk, rd) in enumerate(zip(self.resblock_kernel_sizes,
                                              self.resblock_dilations)):
-                h = ResBlock1(ch, rk, rd, name=f"resblock_{i}_{j}")(x)
+                h = ResBlock1(ch, rk, rd, dtype=self.dtype,
+                              name=f"resblock_{i}_{j}")(x)
                 acc = h if acc is None else acc + h
             x = acc / len(self.resblock_kernel_sizes)
         x = _leaky(x)
         x = nn.Conv(1, (7,), padding="SAME", name="conv_post")(x)
-        return jnp.tanh(x)[..., 0]
+        return jnp.tanh(x.astype(jnp.float32))[..., 0]
 
 
 def convert_torch_checkpoint(state_dict) -> dict:
