@@ -222,6 +222,12 @@ def main():
         "few_shot_adaptation_inner_loop_steps_per_sec", "steps/s",
         "import benchmarks.bench_adaptation as ba; import json; "
         "print(json.dumps(ba.main(emit=False)))", timeout=sub_timeout)
+    _emit_subprocess_metric(
+        "e2e_tts_realtime_factor_per_chip", "x realtime",
+        "from benchmarks.bench_e2e_tts import run; import json; "
+        f"r = run('bfloat16', iters={5 if degraded else 20}); "
+        "r.pop('wav', None); r.pop('mel_len', None); print(json.dumps(r))",
+        timeout=sub_timeout)
 
     rec = {
         "metric": "fastspeech2_synthesis_mel_frames_per_sec_per_chip",
