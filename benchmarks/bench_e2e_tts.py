@@ -12,6 +12,7 @@ Duration head pinned to realistic speech lengths
 synthesis bench.
 
 Usage: python benchmarks/bench_e2e_tts.py [iters] [float32|bfloat16|both]
+                                          [conv_transpose|subpixel]
 """
 from __future__ import annotations
 
@@ -25,7 +26,8 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def run(voc_dtype: str = "float32", iters: int = 20):
+def run(voc_dtype: str = "float32", iters: int = 20,
+        upsample: str = "conv_transpose"):
     import jax
     import jax.numpy as jnp
 
@@ -56,7 +58,8 @@ def run(voc_dtype: str = "float32", iters: int = 20):
 
     voc = HiFiGANGenerator(
         n_mels=cfg.audio.n_mels,
-        dtype=jnp.bfloat16 if voc_dtype == "bfloat16" else None)
+        dtype=jnp.bfloat16 if voc_dtype == "bfloat16" else None,
+        upsample_impl=upsample)
     # init at f32 regardless: params are dtype-independent
     voc_vars = HiFiGANGenerator(n_mels=cfg.audio.n_mels).init(
         jax.random.PRNGKey(1), jnp.zeros((1, 16, cfg.audio.n_mels)))
@@ -85,6 +88,7 @@ def run(voc_dtype: str = "float32", iters: int = 20):
         "value": round(audio_s / dt, 1),
         "unit": "x realtime",
         "vocoder_dtype": voc_dtype,
+        "upsample_impl": upsample,
         "wav_samples_per_sec": round(n_samples / dt, 1),
         "ms_per_batch": round(dt / iters * 1e3, 2),
         "batch": B, "text_len": L, "mel_bucket": T,
@@ -101,11 +105,12 @@ def run(voc_dtype: str = "float32", iters: int = 20):
 def main():
     iters = int(sys.argv[1]) if len(sys.argv) > 1 else 20
     which = sys.argv[2] if len(sys.argv) > 2 else "float32"
+    upsample = sys.argv[3] if len(sys.argv) > 3 else "conv_transpose"
     if which != "both":
-        run(which, iters)
+        run(which, iters, upsample)
         return
-    a = run("float32", iters)
-    b = run("bfloat16", iters)
+    a = run("float32", iters, upsample)
+    b = run("bfloat16", iters, upsample)
     # waveform divergence over the valid samples (tanh-bounded [-1, 1])
     n = int(min(a["mel_len"].min(), b["mel_len"].min())) * a["hop"]
     diff = np.abs(a["wav"][:, :n] - b["wav"][:, :n])

@@ -72,6 +72,23 @@ def main(n_utts: int = 20, dur_s: float = 5.0):
         "audio_realtime_factor": round(n_utts * dur_s / dt, 1),
     }))
 
+    # batched device dispatch (one call per wav bucket per device_batch)
+    from fscl_tpu.dsp.preprocess import preprocess_utterances_batched
+    items = [(q, tg_path) for q in queries]
+    preprocess_utterances_batched(store, items[:2], device_batch=8)  # warm
+    t0 = time.time()
+    samples, ok = preprocess_utterances_batched(store, items,
+                                                device_batch=8)
+    dt = time.time() - t0
+    assert len(ok) == n_utts
+    print(json.dumps({
+        "metric": "preprocessing_utterances_per_sec_batched",
+        "value": round(n_utts / dt, 2),
+        "unit": "utt/s",
+        "utt_seconds": dur_s,
+        "device_batch": 8,
+        "audio_realtime_factor": round(n_utts * dur_s / dt, 1),
+    }))
 
 if __name__ == "__main__":
     main()

@@ -38,11 +38,12 @@ def run(args):
 
     if args.preprocess:
         assert args.textgrid_dir, "--preprocess requires --textgrid_dir"
-        from fscl_tpu.dsp.preprocess import compute_stats, preprocess_utterance
+        from fscl_tpu.dsp.preprocess import (
+            compute_stats, preprocess_utterances_batched)
         queries = store.load_metadata()
         if limit:
             queries = queries[:limit]
-        stats_samples, ok_queries = [], []
+        items = []
         for q in queries:
             tg = os.path.join(args.textgrid_dir, q["spk"],
                               q["basename"] + ".TextGrid")
@@ -51,18 +52,14 @@ def run(args):
             if not os.path.isfile(tg):
                 print(f"[preprocess] no TextGrid for {q}")
                 continue
-            try:
-                kw = {}
-                if pre_cfg is not None:
-                    kw = dict(audio=pre_cfg.audio,
-                              pitch_method=pre_cfg.pitch_method)
-                s = preprocess_utterance(store, q, tg, **kw)
-            except Exception as e:  # ignore_errors=True semantics
-                print(f"[preprocess] failed {q}: {e}")
-                continue
-            if s is not None:
-                stats_samples.append(s)
-                ok_queries.append(q)
+            items.append((q, tg))
+        kw = {}
+        if pre_cfg is not None:
+            kw = dict(audio=pre_cfg.audio, pitch_method=pre_cfg.pitch_method)
+        # grouped device dispatch: one batched mel/STFT call per
+        # wav-length bucket instead of two calls per utterance
+        stats_samples, ok_queries = preprocess_utterances_batched(
+            store, items, **kw)
         store.flush()
         stats = compute_stats(stats_samples, store)
         print(f"[preprocess] {len(ok_queries)}/{len(queries)} ok, "

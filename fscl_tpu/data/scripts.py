@@ -215,7 +215,8 @@ def make_synthetic_corpus(
     for end-to-end rehearsals (`fscl_tpu rehearse`) and CLI tests."""
     from fscl_tpu.dsp.audio_io import save_wav
     from fscl_tpu.dsp.preprocess import (
-        compute_stats, prepare_initial_features, preprocess_utterance,
+        compute_stats, prepare_initial_features,
+        preprocess_utterances_batched,
     )
 
     os.makedirs(root, exist_ok=True)
@@ -226,7 +227,7 @@ def make_synthetic_corpus(
     # per-phone carrier: acoustics correlate with phone identity
     freqs = {p: f0_base + 35.0 * i for i, p in enumerate(phones)}
 
-    queries, samples = [], []
+    queries, items = [], []
     for i in range(n_utts):
         utt_phones = [phones[int(j)] for j in
                       rng.integers(0, len(phones), n_phones_per_utt)]
@@ -246,10 +247,13 @@ def make_synthetic_corpus(
             f.write(synthetic_textgrid(utt_phones, seg))
         q = {"spk": "spk0", "basename": f"u{i}"}
         prepare_initial_features(store, q, wav_path, " ".join(utt_phones))
-        s = preprocess_utterance(store, q, tg_path)
-        assert s is not None, f"synthetic utterance {i} failed preprocessing"
         queries.append(q)
-        samples.append(s)
+        items.append((q, tg_path))
+    # batched device dispatch (one mel/STFT call per wav bucket, not two
+    # per utterance) — the corpus phase is transport-bound otherwise
+    samples, ok = preprocess_utterances_batched(store, items)
+    assert len(ok) == n_utts, \
+        f"synthetic corpus: {n_utts - len(ok)} utterances failed preprocessing"
     compute_stats(samples, store)
     store.save_speakers(["spk0"])
     store.flush()

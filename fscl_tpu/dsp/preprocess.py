@@ -50,30 +50,38 @@ _WAV_BUCKETS = tuple(22050 * s for s in (2, 4, 6, 8, 10, 12, 15, 20))
 _mel_fns = {}
 
 
-def mel_energy_from_wav(wav: np.ndarray, audio: AudioConfig):
-    """Device-jitted log-mel + energy (ops.stft).
-
-    Wav lengths are padded to buckets so XLA compiles once per bucket, not
-    once per utterance length; padded frames are sliced off after.
-    """
+def _get_mel_fn(padded_len: int, audio: AudioConfig):
+    """Cached jitted log-mel + energy for one wav-length bucket; works on
+    (T,) or (B, T) inputs (ops/stft.py is batch-dim generic)."""
     import jax
-    import jax.numpy as jnp
 
-    from fscl_tpu.data.batch import bucket_len
     from fscl_tpu.ops.stft import mel_spectrogram
 
-    n = len(wav)
-    n_frames = 1 + n // audio.hop_length
-    padded_len = bucket_len(n, _WAV_BUCKETS)
     key = (padded_len, audio)
     if key not in _mel_fns:
         _mel_fns[key] = jax.jit(lambda w: mel_spectrogram(
             w, sr=audio.sampling_rate, n_fft=audio.n_fft,
             hop_length=audio.hop_length, win_length=audio.win_length,
             n_mels=audio.n_mels, fmin=audio.mel_fmin, fmax=audio.mel_fmax))
+    return _mel_fns[key]
+
+
+def mel_energy_from_wav(wav: np.ndarray, audio: AudioConfig):
+    """Device-jitted log-mel + energy (ops.stft).
+
+    Wav lengths are padded to buckets so XLA compiles once per bucket, not
+    once per utterance length; padded frames are sliced off after.
+    """
+    import jax.numpy as jnp
+
+    from fscl_tpu.data.batch import bucket_len
+
+    n = len(wav)
+    n_frames = 1 + n // audio.hop_length
+    padded_len = bucket_len(n, _WAV_BUCKETS)
     padded = np.zeros(padded_len, np.float32)
     padded[:n] = wav
-    mel, energy = _mel_fns[key](jnp.asarray(padded))
+    mel, energy = _get_mel_fn(padded_len, audio)(jnp.asarray(padded))
     return np.asarray(mel)[:n_frames], np.asarray(energy)[:n_frames]
 
 
@@ -81,26 +89,23 @@ _DVEC_BUCKETS = tuple(16000 * s for s in (2, 4, 6, 8, 10, 12, 15, 20))
 _dvec_fns = {}
 
 
-def dvec_mel_slices(wav16: np.ndarray) -> np.ndarray:
-    """Speaker-reference 40-mel slices (spk_ref_mel_slices feature):
-    resemblyzer-style partial utterances for GE2E averaging. The STFT is
-    jitted per wav-length bucket — eager dispatch over the remote-TPU tunnel
-    is catastrophically slow (one round-trip per op)."""
+def _get_dvec_fn(padded_len: int):
+    """Cached jitted d-vector STFT magnitude for one bucket; (T,) or (B, T)."""
     import jax
-    import jax.numpy as jnp
 
-    from fscl_tpu.data.batch import bucket_len
-    from fscl_tpu.ops.stft import mel_filterbank, stft_magnitude
+    from fscl_tpu.ops.stft import stft_magnitude
 
-    n = len(wav16)
-    padded_len = bucket_len(n, _DVEC_BUCKETS)
     if padded_len not in _dvec_fns:
         _dvec_fns[padded_len] = jax.jit(lambda w: stft_magnitude(
             w, n_fft=DVEC_WIN, hop_length=DVEC_HOP, win_length=DVEC_WIN))
-    padded = np.zeros(padded_len, np.float32)
-    padded[:n] = wav16
-    n_frames = 1 + n // DVEC_HOP
-    mag = np.asarray(_dvec_fns[padded_len](jnp.asarray(padded)))[:n_frames]
+    return _dvec_fns[padded_len]
+
+
+def _dvec_slices_from_mag(mag: np.ndarray) -> np.ndarray:
+    """Host tail of the d-vector feature: mel projection + partial slicing
+    (resemblyzer contract: ~1.6 s partials, 50% overlap)."""
+    from fscl_tpu.ops.stft import mel_filterbank
+
     fb = mel_filterbank(DVEC_SR, DVEC_WIN, DVEC_MEL, 0.0, DVEC_SR / 2)
     mel = np.log(np.maximum(mag @ fb.T, 1e-10))
     n = mel.shape[0]
@@ -111,13 +116,28 @@ def dvec_mel_slices(wav16: np.ndarray) -> np.ndarray:
     return np.stack([mel[s: s + PARTIAL_FRAMES] for s in starts]).astype(np.float32)
 
 
-def preprocess_utterance(
-    store: FeatureStore, query, textgrid_path: str,
-    audio: AudioConfig = AudioConfig(),
-    pitch_method: str = "world",
-) -> Optional[Dict[str, float]]:
-    """Full per-utterance stage-2: returns pitch/energy samples for stats,
-    or None if the utterance fails sanity checks."""
+def dvec_mel_slices(wav16: np.ndarray) -> np.ndarray:
+    """Speaker-reference 40-mel slices (spk_ref_mel_slices feature):
+    resemblyzer-style partial utterances for GE2E averaging. The STFT is
+    jitted per wav-length bucket — eager dispatch over the remote-TPU tunnel
+    is catastrophically slow (one round-trip per op)."""
+    import jax.numpy as jnp
+
+    from fscl_tpu.data.batch import bucket_len
+
+    n = len(wav16)
+    padded_len = bucket_len(n, _DVEC_BUCKETS)
+    padded = np.zeros(padded_len, np.float32)
+    padded[:n] = wav16
+    n_frames = 1 + n // DVEC_HOP
+    mag = np.asarray(_get_dvec_fn(padded_len)(jnp.asarray(padded)))[:n_frames]
+    return _dvec_slices_from_mag(mag)
+
+
+def _stage2_prepare(store: FeatureStore, query, textgrid_path: str,
+                    audio: AudioConfig) -> Optional[Dict]:
+    """Host half A of stage-2: TextGrid parse + wav reads + trims.
+    Returns a record for the device stage, or None on sanity failure."""
     segments, phonemes = textgrid_to_segments_and_phonemes(textgrid_path)
     if not segments:
         return None
@@ -132,8 +152,31 @@ def preprocess_utterance(
 
     # re-zero segments to the trimmed origin
     segments = [(s - t0, e - t0) for s, e in segments]
+    return {"query": query, "trim22": trim22, "trim16": trim16,
+            "segments": segments, "phonemes": phonemes}
 
-    mel, energy = mel_energy_from_wav(trim22, audio)
+
+def preprocess_utterance(
+    store: FeatureStore, query, textgrid_path: str,
+    audio: AudioConfig = AudioConfig(),
+    pitch_method: str = "world",
+) -> Optional[Dict[str, float]]:
+    """Full per-utterance stage-2: returns pitch/energy samples for stats,
+    or None if the utterance fails sanity checks."""
+    rec = _stage2_prepare(store, query, textgrid_path, audio)
+    if rec is None:
+        return None
+    mel, energy = mel_energy_from_wav(rec["trim22"], audio)
+    dvec = dvec_mel_slices(rec["trim16"])
+    return _stage2_finish(store, rec, mel, energy, dvec, audio, pitch_method)
+
+
+def _stage2_finish(store: FeatureStore, rec: Dict, mel, energy, dvec,
+                   audio: AudioConfig,
+                   pitch_method: str) -> Optional[Dict[str, float]]:
+    """Host half B of stage-2: pitch, durations, averages, saves."""
+    query, trim22, trim16 = rec["query"], rec["trim22"], rec["trim16"]
+    segments, phonemes = rec["segments"], rec["phonemes"]
     pitch = extract_pitch(trim22, audio.sampling_rate, audio.hop_length,
                           method=pitch_method)
     n = min(len(mel), len(pitch), len(energy))
@@ -183,13 +226,136 @@ def preprocess_utterance(
     store.mfa_duration_avg_energy.save(np.asarray(avg_energy, np.float32), query)
     store.mfa_segment.save([[float(s), float(e)] for s, e in segments], query)
     store.phoneme.save(" ".join(phonemes), query)
-    store.spk_ref_mel_slices.save(dvec_mel_slices(trim16), query)
+    store.spk_ref_mel_slices.save(dvec, query)
 
     voiced = pitch[pitch > 0]
     return {
         "pitch": voiced.tolist(),
         "energy": energy.tolist(),
     }
+
+
+def preprocess_utterances_batched(
+    store: FeatureStore,
+    items: Sequence[Tuple[Dict, str]],
+    audio: AudioConfig = AudioConfig(),
+    pitch_method: str = "world",
+    device_batch: int = 8,
+    chunk_size: int = 256,
+    on_error=None,
+) -> Tuple[List[Dict[str, list]], List[Dict]]:
+    """Stage-2 over many utterances with BATCHED device dispatch.
+
+    The per-utterance path issues two device calls per utterance (mel+
+    energy, d-vector STFT); over a remote-TPU tunnel each call pays the
+    round-trip latency, which dominates preprocessing (BASELINE.md: 3.33
+    utt/s, transport-bound). Here utterances are grouped by wav-length
+    bucket and each group of `device_batch` runs as ONE batched call —
+    the same frame/FFT ops with a leading batch axis (ops/stft.py is
+    written with `...` batch dims throughout).
+
+    `items` = sequence of (query, textgrid_path). Per-utterance failures
+    are isolated: `on_error(query, exception)` is called (default: print)
+    and the rest proceed. Returns (stats_samples, ok_queries) in input
+    order, matching the per-utterance loop's accounting. Peak memory is
+    bounded: at most `chunk_size` utterances' wavs+features are held at
+    once (the per-utterance path streams; a corpus-sized `items` must
+    not pin the whole corpus in host RAM).
+    """
+    def _report(q, e):
+        if on_error is not None:
+            on_error(q, e)
+        else:
+            print(f"[preprocess] failed {q}: {e}")
+
+    stats_samples, ok_queries = [], []
+    for c in range(0, len(items), max(1, chunk_size)):
+        s, q = _preprocess_chunk_batched(
+            store, items[c: c + chunk_size], audio, pitch_method,
+            device_batch, _report)
+        stats_samples.extend(s)
+        ok_queries.extend(q)
+    return stats_samples, ok_queries
+
+
+def _preprocess_chunk_batched(store, items, audio, pitch_method,
+                              device_batch, _report):
+    import jax.numpy as jnp
+
+    from fscl_tpu.data.batch import bucket_len
+
+    recs = []
+    for query, tg_path in items:
+        try:
+            rec = _stage2_prepare(store, query, tg_path, audio)
+        except Exception as e:  # ignore_errors=True semantics
+            _report(query, e)
+            continue
+        if rec is not None:
+            recs.append(rec)
+
+    # Dispatch EVERY device call before materializing any result: jax
+    # dispatch is async, so over a remote-TPU tunnel the round trips
+    # pipeline (dispatch,dispatch,... -> wait) instead of serializing
+    # (dispatch -> wait -> dispatch -> wait).
+    pending = []  # (device arrays, chunk indices, kind)
+
+    # ---- batched mel/energy over 22.05 kHz trim buckets ----
+    groups: Dict[int, List[int]] = {}
+    for i, rec in enumerate(recs):
+        groups.setdefault(
+            bucket_len(len(rec["trim22"]), _WAV_BUCKETS), []).append(i)
+    for bucket, idxs in groups.items():
+        fn = _get_mel_fn(bucket, audio)
+        for c in range(0, len(idxs), device_batch):
+            chunk = idxs[c: c + device_batch]
+            padded = np.zeros((device_batch, bucket), np.float32)
+            for row, i in enumerate(chunk):
+                w = recs[i]["trim22"]
+                padded[row, :len(w)] = w
+            pending.append((fn(jnp.asarray(padded)), chunk, "mel"))
+
+    # ---- batched d-vector STFT over 16 kHz trim buckets ----
+    groups = {}
+    for i, rec in enumerate(recs):
+        groups.setdefault(
+            bucket_len(len(rec["trim16"]), _DVEC_BUCKETS), []).append(i)
+    for bucket, idxs in groups.items():
+        fn = _get_dvec_fn(bucket)
+        for c in range(0, len(idxs), device_batch):
+            chunk = idxs[c: c + device_batch]
+            padded = np.zeros((device_batch, bucket), np.float32)
+            for row, i in enumerate(chunk):
+                w = recs[i]["trim16"]
+                padded[row, :len(w)] = w
+            pending.append((fn(jnp.asarray(padded)), chunk, "dvec"))
+
+    for out, chunk, kind in pending:
+        if kind == "mel":
+            mel_b, energy_b = np.asarray(out[0]), np.asarray(out[1])
+            for row, i in enumerate(chunk):
+                nf = 1 + len(recs[i]["trim22"]) // audio.hop_length
+                recs[i]["mel"] = mel_b[row, :nf]
+                recs[i]["energy"] = energy_b[row, :nf]
+        else:
+            mag_b = np.asarray(out)
+            for row, i in enumerate(chunk):
+                nf = 1 + len(recs[i]["trim16"]) // DVEC_HOP
+                recs[i]["dvec"] = _dvec_slices_from_mag(mag_b[row, :nf])
+
+    # ---- host tail (pitch, durations, averages, saves) in input order ----
+    stats_samples, ok_queries = [], []
+    for rec in recs:
+        try:
+            s = _stage2_finish(store, rec, rec["mel"], rec["energy"],
+                               rec["dvec"], audio, pitch_method)
+        except Exception as e:
+            _report(rec["query"], e)
+            continue
+        if s is not None:
+            stats_samples.append(s)
+            ok_queries.append(rec["query"])
+    return stats_samples, ok_queries
 
 
 def compute_stats(samples: List[Dict[str, list]], store: FeatureStore) -> dict:

@@ -22,6 +22,65 @@ def _leaky(x):
     return nn.leaky_relu(x, 0.1)
 
 
+class SubpixelUpsample(nn.Module):
+    """ConvTranspose1d(kernel k, stride r, padding (k-r)//2) computed as ONE
+    stride-1 conv emitting r*out channels followed by a depth-to-space
+    reshape — exactly equivalent (tests/test_vocoder.py pins allclose vs
+    nn.ConvTranspose on shared params).
+
+    Why: XLA lowers conv_transpose as a conv over a zero-dilated input
+    (lhs_dilation=r), so the MXU contracts k taps of which only ~k/r are
+    nonzero, and the output channel dim (256..32 down the HiFiGAN stack)
+    underfills the 128-wide MXU lanes. The sub-pixel form contracts only
+    the ceil(k/r)+1 real taps and widens the output dim to r*out
+    (2048/256/128/64 for V1) — dense MXU work at every stage.
+
+    Param layout (kernel (k, out, in) + bias) is IDENTICAL to
+    nn.ConvTranspose(transpose_kernel=True), so converted torch checkpoints
+    and existing flax checkpoints load into either implementation.
+    """
+    features: int
+    kernel_size: int
+    rate: int
+    dtype: object = None     # computation dtype; params stay f32
+
+    @nn.compact
+    def __call__(self, x):
+        k, r, out_ch = self.kernel_size, self.rate, self.features
+        in_ch = x.shape[-1]
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(batch_axis=(0,), in_axis=-1,
+                                         out_axis=-2),
+            (k, out_ch, in_ch))
+        bias = self.param("bias", nn.initializers.zeros, (out_ch,))
+
+        # torch semantics (what ConvTranspose+converted ckpts implement):
+        #   out[o, oc] = sum_{i,ic,kap} w[kap, oc, ic] x[i, ic],  o = i*r - pad + kap
+        # Write o = r*q + p (p = sub-pixel phase). Then kap = r*delta + p + pad
+        # with delta = q - i, so each phase-p output is a small conv over
+        # x[q - delta] for the handful of deltas with kap in [0, k).
+        pad = (k - r) // 2
+        d_lo = -((r - 1 + pad) // r)
+        d_hi = (k - 1 - pad) // r
+        w = d_hi - d_lo + 1
+        deltas = d_hi - np.arange(w)                       # window pos -> delta
+        kappas = r * deltas[:, None] + np.arange(r)[None, :] + pad  # (w, r)
+        valid = (kappas >= 0) & (kappas < k)
+        safe = np.clip(kappas, 0, k - 1)
+        dense = kernel[safe]                               # (w, r, out, in)
+        dense = jnp.where(jnp.asarray(valid)[:, :, None, None], dense, 0.0)
+        dense = dense.transpose(0, 3, 1, 2).reshape(w, in_ch, r * out_ch)
+
+        dt = self.dtype or x.dtype
+        y = jax.lax.conv_general_dilated(
+            x.astype(dt), dense.astype(dt), window_strides=(1,),
+            padding=((d_hi, -d_lo),),
+            dimension_numbers=("NWC", "WIO", "NWC"))
+        b, t = x.shape[0], x.shape[1]
+        return y.reshape(b, t * r, out_ch) + bias.astype(dt)
+
+
 class ResBlock1(nn.Module):
     channels: int
     kernel_size: int = 3
@@ -55,6 +114,10 @@ class HiFiGANGenerator(nn.Module):
     # divergence vs f32 is ~1e-3 on a tanh-bounded signal
     # (benchmarks/bench_e2e_tts.py --dtype A/B).
     dtype: object = None
+    # "subpixel" computes each upsample as a stride-1 conv + depth-to-space
+    # (SubpixelUpsample) instead of conv_transpose; numerically equal, same
+    # param layout, avoids the zero-dilated conv lowering.
+    upsample_impl: str = "conv_transpose"
 
     @nn.compact
     def __call__(self, mel):
@@ -65,11 +128,15 @@ class HiFiGANGenerator(nn.Module):
                                        self.upsample_kernel_sizes)):
             x = _leaky(x)
             ch = self.upsample_initial_channel // (2 ** (i + 1))
-            # SAME == torch ConvTranspose1d(padding=(k-r)//2): exact output
-            # length in*r and bit-identical values (verified vs torch)
-            x = nn.ConvTranspose(ch, (k,), strides=(r,), padding="SAME",
-                                 transpose_kernel=True, dtype=self.dtype,
-                                 name=f"ups_{i}")(x)
+            if self.upsample_impl == "subpixel":
+                x = SubpixelUpsample(ch, k, r, dtype=self.dtype,
+                                     name=f"ups_{i}")(x)
+            else:
+                # SAME == torch ConvTranspose1d(padding=(k-r)//2): exact
+                # output length in*r and bit-identical values (vs torch)
+                x = nn.ConvTranspose(ch, (k,), strides=(r,), padding="SAME",
+                                     transpose_kernel=True, dtype=self.dtype,
+                                     name=f"ups_{i}")(x)
             acc = None
             for j, (rk, rd) in enumerate(zip(self.resblock_kernel_sizes,
                                              self.resblock_dilations)):

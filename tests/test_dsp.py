@@ -183,3 +183,99 @@ def test_preprocess_utterance_end_to_end(tmp_path):
     assert sample["mel"].shape[0] == int(dur.sum())
     assert sample["raw_feat"].ndim == 1
     assert len(sample["avg_frames"]) == 2
+
+
+def test_batched_preprocess_matches_per_utterance(tmp_path):
+    """preprocess_utterances_batched groups device calls by wav bucket;
+    every stored feature must match the per-utterance path exactly (same
+    ops with a leading batch axis, zero padding identical)."""
+    from fscl_tpu.data.feature_store import FeatureStore
+    from fscl_tpu.dsp.audio_io import save_wav
+    from fscl_tpu.dsp.preprocess import (
+        prepare_initial_features, preprocess_utterance,
+        preprocess_utterances_batched,
+    )
+
+    sr = 22050
+    rng = np.random.default_rng(7)
+    stores = [FeatureStore(str(tmp_path / name)) for name in ("a", "b")]
+    queries, tgs = [], []
+    # three different lengths: two land in the same bucket, one in another
+    for i, dur_s in enumerate((1.0, 1.3, 3.1)):
+        n = int(sr * dur_s)
+        t = np.arange(n) / sr
+        wav = (0.4 * np.sin(2 * np.pi * (180 + 40 * i) * t)
+               + 0.05 * rng.standard_normal(n)).astype(np.float32)
+        wav_path = str(tmp_path / f"u{i}.wav")
+        save_wav(wav_path, wav, sr)
+        tg_path = str(tmp_path / f"u{i}.TextGrid")
+        with open(tg_path, "w") as f:
+            f.write(TEXTGRID)
+        q = {"spk": "spk0", "basename": f"u{i}"}
+        queries.append(q)
+        tgs.append(tg_path)
+        for store in stores:
+            prepare_initial_features(store, q, wav_path, f"text {i}")
+
+    ref_samples = []
+    for q, tg in zip(queries, tgs):
+        s = preprocess_utterance(stores[0], q, tg)
+        assert s is not None
+        ref_samples.append(s)
+
+    # chunk_size=2 also exercises the bounded-memory chunking path
+    got_samples, ok = preprocess_utterances_batched(
+        stores[1], list(zip(queries, tgs)), device_batch=2, chunk_size=2)
+    assert ok == queries
+    assert len(got_samples) == len(ref_samples)
+
+    for q in queries:
+        for feat in ("mel", "energy", "pitch", "interpolate_pitch",
+                     "mfa_duration", "mfa_duration_avg_pitch",
+                     "mfa_duration_avg_energy", "spk_ref_mel_slices"):
+            a = getattr(stores[0], feat).read_from_query(q)
+            b = getattr(stores[1], feat).read_from_query(q)
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=0, atol=1e-5,
+                err_msg=f"{feat} diverges for {q}")
+        assert (stores[0].phoneme.read_from_query(q)
+                == stores[1].phoneme.read_from_query(q))
+    for sa, sb in zip(ref_samples, got_samples):
+        np.testing.assert_allclose(sa["pitch"], sb["pitch"], atol=1e-5)
+        np.testing.assert_allclose(sa["energy"], sb["energy"], atol=1e-5)
+
+
+def test_batched_preprocess_isolates_failures(tmp_path):
+    """A corrupt TextGrid (or missing wav) fails only its own utterance:
+    the rest of the chunk proceeds and on_error receives the failure."""
+    from fscl_tpu.data.feature_store import FeatureStore
+    from fscl_tpu.dsp.audio_io import save_wav
+    from fscl_tpu.dsp.preprocess import (
+        prepare_initial_features, preprocess_utterances_batched,
+    )
+
+    sr = 22050
+    store = FeatureStore(str(tmp_path / "s"))
+    items, queries = [], []
+    for i in range(3):
+        n = int(sr * 1.2)
+        wav = (0.4 * np.sin(2 * np.pi * 200 * np.arange(n) / sr)
+               ).astype(np.float32)
+        wav_path = str(tmp_path / f"u{i}.wav")
+        save_wav(wav_path, wav, sr)
+        tg_path = str(tmp_path / f"u{i}.TextGrid")
+        with open(tg_path, "w") as f:
+            f.write("garbage, not a TextGrid" if i == 1 else TEXTGRID)
+        q = {"spk": "spk0", "basename": f"u{i}"}
+        prepare_initial_features(store, q, wav_path, f"text {i}")
+        queries.append(q)
+        items.append((q, tg_path))
+
+    failures = []
+    samples, ok = preprocess_utterances_batched(
+        store, items, on_error=lambda q, e: failures.append(q))
+    assert ok == [queries[0], queries[2]]
+    assert len(samples) == 2
+    # garbage TextGrid either raises (reported) or parses to no segments
+    # (silently skipped) — it must not appear in ok either way
+    assert queries[1] not in ok

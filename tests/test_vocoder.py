@@ -58,6 +58,43 @@ def test_hifigan_torch_converter_shapes():
     assert np.isfinite(np.asarray(wav)).all()
 
 
+def test_subpixel_upsample_matches_conv_transpose():
+    """SubpixelUpsample must be numerically equal to nn.ConvTranspose on the
+    SAME params (identical layout), for both (k=16, r=8) and (k=4, r=2)."""
+    import flax.linen as nn
+    import jax
+    from fscl_tpu.models.hifigan import SubpixelUpsample
+
+    rng = jax.random.PRNGKey(0)
+    for (k, r, in_ch, out_ch, t) in ((16, 8, 12, 6, 17), (4, 2, 6, 3, 33)):
+        x = jax.random.normal(jax.random.fold_in(rng, k), (2, t, in_ch))
+        sub = SubpixelUpsample(out_ch, k, r)
+        variables = sub.init(jax.random.fold_in(rng, r), x)
+        ct = nn.ConvTranspose(out_ch, (k,), strides=(r,), padding="SAME",
+                              transpose_kernel=True)
+        want = ct.apply(variables, x)
+        got = sub.apply(variables, x)
+        assert got.shape == want.shape == (2, t * r, out_ch)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-5, rtol=1e-5)
+
+
+def test_hifigan_subpixel_impl_matches_default():
+    """Whole-generator equality: the subpixel impl applied to the SAME
+    variables produces the same waveform as the conv_transpose impl."""
+    import jax
+    from fscl_tpu.models.hifigan import HiFiGANGenerator
+
+    gen = HiFiGANGenerator(upsample_initial_channel=32)
+    mel = jax.random.normal(jax.random.PRNGKey(0), (2, 12, 80))
+    variables = gen.init(jax.random.PRNGKey(1), mel)
+    want = gen.apply(variables, mel)
+    got = HiFiGANGenerator(upsample_initial_channel=32,
+                           upsample_impl="subpixel").apply(variables, mel)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=1e-5)
+
+
 def test_griffin_lim_roundtrip_shape():
     from fscl_tpu.audio_out.vocoder import griffin_lim
     import jax.numpy as jnp
