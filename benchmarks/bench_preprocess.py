@@ -90,5 +90,23 @@ def main(n_utts: int = 20, dur_s: float = 5.0):
         "audio_realtime_factor": round(n_utts * dur_s / dt, 1),
     }))
 
+    # batched + ON-DEVICE pitch (yin_device): host pitch removed entirely
+    preprocess_utterances_batched(store, items[:2], device_batch=8,
+                                  pitch_method="yin_device")  # warm
+    t0 = time.time()
+    samples, ok = preprocess_utterances_batched(
+        store, items, device_batch=8, pitch_method="yin_device")
+    dt = time.time() - t0
+    assert len(ok) == n_utts
+    print(json.dumps({
+        "metric": "preprocessing_utterances_per_sec_batched_device_pitch",
+        "value": round(n_utts / dt, 2),
+        "unit": "utt/s",
+        "utt_seconds": dur_s,
+        "device_batch": 8,
+        "audio_realtime_factor": round(n_utts * dur_s / dt, 1),
+    }))
+
+
 if __name__ == "__main__":
     main()

@@ -177,8 +177,11 @@ def _stage2_finish(store: FeatureStore, rec: Dict, mel, energy, dvec,
     """Host half B of stage-2: pitch, durations, averages, saves."""
     query, trim22, trim16 = rec["query"], rec["trim22"], rec["trim16"]
     segments, phonemes = rec["segments"], rec["phonemes"]
-    pitch = extract_pitch(trim22, audio.sampling_rate, audio.hop_length,
-                          method=pitch_method)
+    if "pitch" in rec:                 # precomputed by the batched device path
+        pitch = rec["pitch"]
+    else:
+        pitch = extract_pitch(trim22, audio.sampling_rate, audio.hop_length,
+                              method=pitch_method)
     n = min(len(mel), len(pitch), len(energy))
     mel, pitch, energy = mel[:n], pitch[:n], energy[:n]
     interp_pitch, _ = interpolate_f0(pitch)
@@ -315,6 +318,26 @@ def _preprocess_chunk_batched(store, items, audio, pitch_method,
                 padded[row, :len(w)] = w
             pending.append((fn(jnp.asarray(padded)), chunk, "mel"))
 
+    # ---- batched device pitch (same 22.05 kHz buckets) ----
+    # pitch_method="yin_device" runs the whole YIN tracker on the TPU as
+    # one call per bucket group (dsp/pitch_device.py) — on a slow host
+    # the per-utterance C++/numpy pitch pass dominates otherwise.
+    if pitch_method == "yin_device":
+        from fscl_tpu.dsp.pitch_device import get_yin_device_fn
+        for bucket, idxs in groups.items():
+            pfn = get_yin_device_fn(bucket, audio.sampling_rate,
+                                    audio.hop_length)
+            for c in range(0, len(idxs), device_batch):
+                chunk = idxs[c: c + device_batch]
+                padded = np.zeros((device_batch, bucket), np.float32)
+                lens = np.zeros(device_batch, np.int32)
+                for row, i in enumerate(chunk):
+                    w = recs[i]["trim22"]
+                    padded[row, :len(w)] = w
+                    lens[row] = len(w)
+                pending.append((pfn(jnp.asarray(padded), jnp.asarray(lens)),
+                                chunk, "pitch"))
+
     # ---- batched d-vector STFT over 16 kHz trim buckets ----
     groups = {}
     for i, rec in enumerate(recs):
@@ -337,6 +360,11 @@ def _preprocess_chunk_batched(store, items, audio, pitch_method,
                 nf = 1 + len(recs[i]["trim22"]) // audio.hop_length
                 recs[i]["mel"] = mel_b[row, :nf]
                 recs[i]["energy"] = energy_b[row, :nf]
+        elif kind == "pitch":
+            pitch_b = np.asarray(out)
+            for row, i in enumerate(chunk):
+                nf = 1 + len(recs[i]["trim22"]) // audio.hop_length
+                recs[i]["pitch"] = pitch_b[row, :nf]
         else:
             mag_b = np.asarray(out)
             for row, i in enumerate(chunk):
