@@ -90,24 +90,30 @@ _dvec_fns = {}
 
 
 def _get_dvec_fn(padded_len: int):
-    """Cached jitted d-vector STFT magnitude for one bucket; (T,) or (B, T)."""
+    """Cached jitted d-vector 40-mel log spectrogram for one bucket; (T,)
+    or (B, T). The mel projection + log run fused with the STFT on device
+    (the host matmul cost ~ms per utterance on a 1-vCPU TPU host)."""
     import jax
+    import jax.numpy as jnp
 
-    from fscl_tpu.ops.stft import stft_magnitude
+    from fscl_tpu.ops.stft import mel_filterbank, stft_magnitude
 
     if padded_len not in _dvec_fns:
-        _dvec_fns[padded_len] = jax.jit(lambda w: stft_magnitude(
-            w, n_fft=DVEC_WIN, hop_length=DVEC_HOP, win_length=DVEC_WIN))
+        fb = jnp.asarray(mel_filterbank(DVEC_SR, DVEC_WIN, DVEC_MEL, 0.0,
+                                        DVEC_SR / 2).T)
+
+        def dvec_mel(w):
+            mag = stft_magnitude(w, n_fft=DVEC_WIN, hop_length=DVEC_HOP,
+                                 win_length=DVEC_WIN)
+            return jnp.log(jnp.maximum(mag @ fb, 1e-10))
+
+        _dvec_fns[padded_len] = jax.jit(dvec_mel)
     return _dvec_fns[padded_len]
 
 
-def _dvec_slices_from_mag(mag: np.ndarray) -> np.ndarray:
-    """Host tail of the d-vector feature: mel projection + partial slicing
+def _dvec_slices_from_mel(mel: np.ndarray) -> np.ndarray:
+    """Host tail of the d-vector feature: partial slicing only
     (resemblyzer contract: ~1.6 s partials, 50% overlap)."""
-    from fscl_tpu.ops.stft import mel_filterbank
-
-    fb = mel_filterbank(DVEC_SR, DVEC_WIN, DVEC_MEL, 0.0, DVEC_SR / 2)
-    mel = np.log(np.maximum(mag @ fb.T, 1e-10))
     n = mel.shape[0]
     if n < PARTIAL_FRAMES:
         mel = np.pad(mel, ((0, PARTIAL_FRAMES - n), (0, 0)))
@@ -130,8 +136,8 @@ def dvec_mel_slices(wav16: np.ndarray) -> np.ndarray:
     padded = np.zeros(padded_len, np.float32)
     padded[:n] = wav16
     n_frames = 1 + n // DVEC_HOP
-    mag = np.asarray(_get_dvec_fn(padded_len)(jnp.asarray(padded)))[:n_frames]
-    return _dvec_slices_from_mag(mag)
+    mel = np.asarray(_get_dvec_fn(padded_len)(jnp.asarray(padded)))[:n_frames]
+    return _dvec_slices_from_mel(mel)
 
 
 def _stage2_prepare(store: FeatureStore, query, textgrid_path: str,
@@ -366,10 +372,10 @@ def _preprocess_chunk_batched(store, items, audio, pitch_method,
                 nf = 1 + len(recs[i]["trim22"]) // audio.hop_length
                 recs[i]["pitch"] = pitch_b[row, :nf]
         else:
-            mag_b = np.asarray(out)
+            dvec_mel_b = np.asarray(out)
             for row, i in enumerate(chunk):
                 nf = 1 + len(recs[i]["trim16"]) // DVEC_HOP
-                recs[i]["dvec"] = _dvec_slices_from_mag(mag_b[row, :nf])
+                recs[i]["dvec"] = _dvec_slices_from_mel(dvec_mel_b[row, :nf])
 
     # ---- host tail (pitch, durations, averages, saves) in input order ----
     stats_samples, ok_queries = [], []
