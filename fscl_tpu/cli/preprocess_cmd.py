@@ -56,6 +56,8 @@ def run(args):
         kw = {}
         if pre_cfg is not None:
             kw = dict(audio=pre_cfg.audio, pitch_method=pre_cfg.pitch_method)
+        if getattr(args, "pitch_method", None):   # CLI overrides the YAML
+            kw["pitch_method"] = args.pitch_method
         # grouped device dispatch: one batched mel/STFT call per
         # wav-length bucket instead of two calls per utterance
         stats_samples, ok_queries = preprocess_utterances_batched(

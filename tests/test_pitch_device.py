@@ -94,6 +94,41 @@ def test_batched_rows_match_single_runs_and_padding_is_unvoiced():
         assert (out[i, nf:] == 0).all(), "padding frames must be unvoiced"
 
 
+def test_cli_pitch_method_override(tmp_path):
+    """`preprocess --pitch_method yin_device` routes the stored pitch
+    through the device tracker (overriding the YAML/world default)."""
+    import os
+
+    from fscl_tpu.cli.__main__ import main
+    from fscl_tpu.data.feature_store import FeatureStore
+    from fscl_tpu.dsp.audio_io import save_wav
+
+    corpus = tmp_path / "LJSpeech"
+    (corpus / "wavs").mkdir(parents=True)
+    tg_dir = tmp_path / "tg"
+    tg_dir.mkdir()
+    t = np.arange(int(SR * 1.2)) / SR
+    wav = (0.4 * np.sin(2 * np.pi * 180 * t)).astype(np.float32)
+    save_wav(str(corpus / "wavs" / "LJ001-0000.wav"), wav, SR)
+    (corpus / "metadata.csv").write_text("LJ001-0000|x|x\n")
+    from fscl_tpu.data.scripts import synthetic_textgrid
+    (tg_dir / "LJ001-0000.TextGrid").write_text(
+        synthetic_textgrid(["HH", "AY1"], 0.5))
+
+    out = tmp_path / "features"
+    rc = main(["preprocess", str(corpus), str(out), "--parser", "LJSpeech",
+               "--parse_raw", "--preprocess", "--textgrid_dir", str(tg_dir),
+               "--n_workers", "1", "--pitch_method", "yin_device"])
+    assert not rc          # run() returns None/0 on success
+    store = FeatureStore(str(out))
+    q = {"spk": "LJSpeech", "basename": "LJ001-0000"}
+    pitch = store.pitch.read_from_query(q)
+    trimmed = store.wav_trim_22050.read_from_query(q)
+    ref = yin_f0_device(trimmed, SR, HOP)[: len(pitch)]
+    np.testing.assert_allclose(pitch, ref, rtol=1e-4, atol=1e-2)
+    assert (pitch > 0).any()
+
+
 def test_preprocess_batched_with_device_pitch(tmp_path):
     """pitch_method='yin_device' through the batched preprocessing path:
     stored pitch features follow the device tracker, everything else
