@@ -66,6 +66,33 @@ def _get_mel_fn(padded_len: int, audio: AudioConfig):
     return _mel_fns[key]
 
 
+_mel_pitch_fns = {}
+
+
+def _get_mel_pitch_fn(padded_len: int, audio: AudioConfig):
+    """Cached jitted fused log-mel + energy + YIN F0 for one wav bucket —
+    one upload and one round trip per batch instead of two (the mel and
+    pitch passes consume the SAME (B, bucket) padded wavs)."""
+    import jax
+
+    from fscl_tpu.dsp.pitch_device import yin_f0_batched
+    from fscl_tpu.ops.stft import mel_spectrogram
+
+    key = (padded_len, audio)
+    if key not in _mel_pitch_fns:
+        def fused(w, lens):
+            mel, energy = mel_spectrogram(
+                w, sr=audio.sampling_rate, n_fft=audio.n_fft,
+                hop_length=audio.hop_length, win_length=audio.win_length,
+                n_mels=audio.n_mels, fmin=audio.mel_fmin, fmax=audio.mel_fmax)
+            f0 = yin_f0_batched(w, lens, sr=audio.sampling_rate,
+                                hop_length=audio.hop_length)
+            return mel, energy, f0
+
+        _mel_pitch_fns[key] = jax.jit(fused)
+    return _mel_pitch_fns[key]
+
+
 def mel_energy_from_wav(wav: np.ndarray, audio: AudioConfig):
     """Device-jitted log-mel + energy (ops.stft).
 
@@ -309,40 +336,32 @@ def _preprocess_chunk_batched(store, items, audio, pitch_method,
     # (dispatch -> wait -> dispatch -> wait).
     pending = []  # (device arrays, chunk indices, kind)
 
-    # ---- batched mel/energy over 22.05 kHz trim buckets ----
+    # ---- batched mel/energy (+ fused device pitch) over 22.05 kHz trim
+    # buckets. pitch_method="yin_device" runs the whole YIN tracker on the
+    # TPU fused into the SAME jitted call as mel/energy (one upload + one
+    # round trip per batch; dsp/pitch_device.py) — on a slow host the
+    # per-utterance C++/numpy pitch pass dominates otherwise.
+    device_pitch = pitch_method == "yin_device"
     groups: Dict[int, List[int]] = {}
     for i, rec in enumerate(recs):
         groups.setdefault(
             bucket_len(len(rec["trim22"]), _WAV_BUCKETS), []).append(i)
     for bucket, idxs in groups.items():
-        fn = _get_mel_fn(bucket, audio)
+        fn = (_get_mel_pitch_fn(bucket, audio) if device_pitch
+              else _get_mel_fn(bucket, audio))
         for c in range(0, len(idxs), device_batch):
             chunk = idxs[c: c + device_batch]
             padded = np.zeros((device_batch, bucket), np.float32)
+            lens = np.zeros(device_batch, np.int32)
             for row, i in enumerate(chunk):
                 w = recs[i]["trim22"]
                 padded[row, :len(w)] = w
-            pending.append((fn(jnp.asarray(padded)), chunk, "mel"))
-
-    # ---- batched device pitch (same 22.05 kHz buckets) ----
-    # pitch_method="yin_device" runs the whole YIN tracker on the TPU as
-    # one call per bucket group (dsp/pitch_device.py) — on a slow host
-    # the per-utterance C++/numpy pitch pass dominates otherwise.
-    if pitch_method == "yin_device":
-        from fscl_tpu.dsp.pitch_device import get_yin_device_fn
-        for bucket, idxs in groups.items():
-            pfn = get_yin_device_fn(bucket, audio.sampling_rate,
-                                    audio.hop_length)
-            for c in range(0, len(idxs), device_batch):
-                chunk = idxs[c: c + device_batch]
-                padded = np.zeros((device_batch, bucket), np.float32)
-                lens = np.zeros(device_batch, np.int32)
-                for row, i in enumerate(chunk):
-                    w = recs[i]["trim22"]
-                    padded[row, :len(w)] = w
-                    lens[row] = len(w)
-                pending.append((pfn(jnp.asarray(padded), jnp.asarray(lens)),
-                                chunk, "pitch"))
+                lens[row] = len(w)
+            if device_pitch:
+                out = fn(jnp.asarray(padded), jnp.asarray(lens))
+            else:
+                out = fn(jnp.asarray(padded))
+            pending.append((out, chunk, "mel"))
 
     # ---- batched d-vector STFT over 16 kHz trim buckets ----
     groups = {}
@@ -362,15 +381,13 @@ def _preprocess_chunk_batched(store, items, audio, pitch_method,
     for out, chunk, kind in pending:
         if kind == "mel":
             mel_b, energy_b = np.asarray(out[0]), np.asarray(out[1])
+            pitch_b = np.asarray(out[2]) if len(out) > 2 else None
             for row, i in enumerate(chunk):
                 nf = 1 + len(recs[i]["trim22"]) // audio.hop_length
                 recs[i]["mel"] = mel_b[row, :nf]
                 recs[i]["energy"] = energy_b[row, :nf]
-        elif kind == "pitch":
-            pitch_b = np.asarray(out)
-            for row, i in enumerate(chunk):
-                nf = 1 + len(recs[i]["trim22"]) // audio.hop_length
-                recs[i]["pitch"] = pitch_b[row, :nf]
+                if pitch_b is not None:
+                    recs[i]["pitch"] = pitch_b[row, :nf]
         else:
             dvec_mel_b = np.asarray(out)
             for row, i in enumerate(chunk):
