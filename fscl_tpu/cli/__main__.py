@@ -135,6 +135,11 @@ def main(argv=None):
                     help="mel (default) or an SSL upstream name")
     mu.add_argument("--seed", type=int, default=0)
     mu.add_argument("--limit", type=int, default=None)
+    mu.add_argument("--layer", type=int, default=-1,
+                    help="SSL hidden layer to cluster (hubert sources)")
+    mu.add_argument("--upstream_ckpt", default=None,
+                    help="torch upstream checkpoint for the SSL source "
+                         "(random-init without)")
 
     c = sub.add_parser("clean", help="data validation / filtering")
     c.add_argument("data_dir")

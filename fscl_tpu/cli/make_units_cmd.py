@@ -37,30 +37,22 @@ def run(args):
                 mel = mel
             return mel
     else:
-        import jax
-        import jax.numpy as jnp
-
-        from fscl_tpu.models.hubert import make_upstream
-        from fscl_tpu.ops.masking import length_mask
+        from fscl_tpu.data.ssl_units import batched_ssl_extractor
 
         fp = 0.02
-        upstream = make_upstream(args.source)
         params = None
-
-        def extract(q):
-            nonlocal params
-            wav = np.asarray(
-                store.wav_trim_16000.read_from_query(q)).astype(np.float32)
-            wavs = jnp.asarray(wav[None])
-            valid = length_mask(jnp.asarray([len(wav)]), len(wav))
-            if params is None:
-                params = upstream.init(jax.random.PRNGKey(0), wavs, valid)
-            hidden, _ = upstream.apply(params, wavs, valid)
-            # hidden: (layers, B, T, D) or (B, T, D); take last layer
-            h = np.asarray(hidden)
-            while h.ndim > 2:
-                h = h[-1] if h.shape[0] != 1 else h[0]
-            return h
+        if getattr(args, "upstream_ckpt", None):
+            from fscl_tpu.models.hubert import convert_torch_checkpoint
+            import torch
+            params = convert_torch_checkpoint(
+                torch.load(args.upstream_ckpt, map_location="cpu"))
+        # bucketed + batched + jitted forwards, one SSL layer's hidden
+        # states precomputed for every query (fixes the old per-utterance
+        # path, which recompiled per wav length and reduced the hidden
+        # tensor over the wrong axis)
+        extract = batched_ssl_extractor(
+            store, queries, source=args.source,
+            layer=getattr(args, "layer", -1) or -1, params=params)
 
     logits_fn = kmeans_unit_labeler(
         extract, queries, n_units=args.n_units, seed=args.seed)

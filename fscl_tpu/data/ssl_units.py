@@ -47,6 +47,88 @@ def label_propagate(
     return P
 
 
+def batched_ssl_extractor(
+    store: FeatureStore,
+    queries: Sequence[dict],
+    source: str = "hubert_base",
+    layer: int = -1,
+    device_batch: int = 8,
+    params=None,
+    cfg=None,
+) -> Callable[[dict], np.ndarray]:
+    """Precompute one SSL layer's hidden states for `queries` with
+    bucketed, batched, JITTED upstream forwards; returns
+    `extract(q) -> (T', D)` backed by the precomputed table.
+
+    This is the throughput path for unit discovery over a real corpus
+    (the reference runs its torch upstream one utterance at a time,
+    evaluation/protonet.py): one compile per wav-length bucket instead of
+    one per distinct length, `device_batch` utterances per device call,
+    and every call dispatched before any result is read so round trips
+    pipeline (same pattern as dsp/preprocess.py's batched stage 2).
+
+    `params`: upstream variables (e.g. a converted pretrained checkpoint,
+    models/hubert.py:convert_torch_checkpoint); random-init when None —
+    random frozen features are still a usable clustering basis for the
+    synthetic rehearsals, and no released checkpoint ships in this image.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from fscl_tpu.data.batch import bucket_len
+    from fscl_tpu.models.hubert import make_upstream, ssl_num_frames
+    from fscl_tpu.ops.masking import length_mask
+    from fscl_tpu.systems.base import jit_init
+
+    buckets = tuple(16000 * s for s in (2, 4, 6, 8, 10, 12, 15, 20))
+    upstream = make_upstream(source, cfg)
+    layer_idx = layer if layer >= 0 else upstream.n_layers + 1 + layer
+
+    fns = {}
+
+    def get_fn(bucket: int):
+        if bucket not in fns:
+            fns[bucket] = jax.jit(lambda p, w, v: upstream.apply(
+                p, w, v)[0][:, :, layer_idx, :])
+        return fns[bucket]
+
+    wavs = {}
+    groups: Dict[int, list] = {}
+    for q in queries:
+        w = np.asarray(
+            store.wav_trim_16000.read_from_query(q)).astype(np.float32)
+        key = (q["spk"], q["basename"])
+        wavs[key] = w
+        groups.setdefault(bucket_len(len(w), buckets), []).append(key)
+
+    pending = []
+    for bucket, keys in groups.items():
+        fn = get_fn(bucket)
+        for c in range(0, len(keys), device_batch):
+            chunk = keys[c: c + device_batch]
+            padded = np.zeros((device_batch, bucket), np.float32)
+            lens = np.zeros(device_batch, np.int32)
+            for row, k in enumerate(chunk):
+                padded[row, : len(wavs[k])] = wavs[k]
+                lens[row] = len(wavs[k])
+            wb = jnp.asarray(padded)
+            vb = length_mask(jnp.asarray(lens), bucket)
+            if params is None:
+                params = jit_init(upstream)(jax.random.PRNGKey(0), wb, vb)
+            pending.append((fn(params, wb, vb), chunk, lens))
+
+    table = {}
+    for out, chunk, lens in pending:
+        h = np.asarray(out)                       # (B, T', D)
+        for row, k in enumerate(chunk):
+            table[k] = h[row, : ssl_num_frames(int(lens[row]))]
+
+    def extract(q):
+        return table[(q["spk"], q["basename"])]
+
+    return extract
+
+
 def generate_ssl_units(
     store: FeatureStore,
     unit_name: str,

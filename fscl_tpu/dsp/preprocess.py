@@ -276,7 +276,7 @@ def preprocess_utterances_batched(
     items: Sequence[Tuple[Dict, str]],
     audio: AudioConfig = AudioConfig(),
     pitch_method: str = "world",
-    device_batch: int = 8,
+    device_batch: int = 16,
     chunk_size: int = 256,
     on_error=None,
 ) -> Tuple[List[Dict[str, list]], List[Dict]]:
