@@ -1,0 +1,136 @@
+"""Streaming TTS serving: chunked vocoding with receptive-field halos.
+
+The reference synthesizes whole utterances then vocodes them in one shot
+(lightning/utils/log.py synth_samples -> vocoder infer), so first audio
+arrives only after the full wav is computed. HiFiGAN is a finite-
+receptive-field convnet: a wav sample depends on <= ~15 mel frames either
+side (conv_pre +-3 frames, then per stage ceil(k_up/r) transposed-conv
+reach + 60-sample MRF reach at that stage's rate, conv_post +-3 samples).
+So the vocoder can run on fixed-size mel windows clamped inside the
+utterance and emit exact chunk*hop samples: every tap a chunk sample
+needs is inside the window, and edge windows share the true array edge so
+per-layer conv-SAME padding matches the full computation (see
+chunked_vocode for why a zero-padded halo would NOT be exact). Chunked
+output equals the full-utterance vocode (tests/test_streaming.py pins
+allclose at f32).
+
+TPU-shaped: one jitted FastSpeech2 synthesis (static mel bucket) + one
+jitted fixed-window vocoder reused for every chunk — two compiles total,
+any utterance length. Time-to-first-audio becomes synthesis + ONE window
+instead of synthesis + the whole utterance (benchmarks/bench_streaming.py
+measures both).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Iterator, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# mel-frame halo covering the generator's receptive field (measured for
+# the V1 config by single-frame perturbation: +-12.5 frames; 16 leaves
+# margin). Exactness is pinned by test, not by this constant alone.
+DEFAULT_HALO = 16
+
+
+@functools.lru_cache(maxsize=16)
+def _window_vocoder(gen, fused: bool):
+    # cached per (module config, path): a fresh jit closure per stream()
+    # call would recompile every utterance (measured 6.7 s first-audio on
+    # a tunneled v5e vs 17 ms warm). Variables are a traced argument so
+    # one compile serves any checkpoint; the window size is baked into
+    # the traced shape (one compile per distinct window).
+    from fscl_tpu.models.hifigan import HiFiGANGenerator
+    use_fused = fused and isinstance(gen, HiFiGANGenerator)
+
+    @jax.jit
+    def vocode(variables, mel_win):         # (B, window, n_mels)
+        if use_fused:
+            from fscl_tpu.ops.hifigan_fused import fused_generator_apply
+            return fused_generator_apply(gen, variables, mel_win)
+        return gen.apply(variables, mel_win)
+
+    return vocode
+
+
+def chunked_vocode(
+    gen,
+    variables,
+    mel: jnp.ndarray,                       # (B, T_mel, n_mels)
+    chunk: int = 64,
+    halo: int = DEFAULT_HALO,
+    hop: int = 256,
+    fused: bool = True,
+) -> Iterator[Tuple[int, np.ndarray]]:
+    """Yield (start_sample, wav_chunk (B, chunk*hop)) left to right.
+
+    Concatenating the chunks equals vocoding the whole mel (right-padded
+    to a chunk multiple) in one call: windows are clamped INSIDE the mel,
+    so edge chunks share the true array edge and see the same per-layer
+    conv-SAME zero padding the full computation applies there, while
+    interior chunk centers sit >= halo frames from any window edge —
+    beyond the generator's receptive field. (Zero-padding a left halo
+    instead would feed layer-1+ bias-colored activations where the full
+    computation pads zeros — measurably wrong for the first receptive
+    field of audio.) Slice the concatenation to T_mel*hop (or per-sample
+    mel_len*hop) downstream.
+    """
+    B, T, _ = mel.shape
+    n_chunks = -(-T // chunk)
+    Tp = n_chunks * chunk
+    if Tp > T:
+        mel = jnp.pad(mel, ((0, 0), (0, Tp - T), (0, 0)))
+    window = min(chunk + 2 * halo, Tp)
+    vocode = _window_vocoder(gen, fused)
+    pending = []
+    for c in range(n_chunks):
+        # dispatch every window asynchronously before materializing any:
+        # later chunks compute while earlier ones transfer to the host
+        # (one device->host round trip per chunk otherwise serializes —
+        # measured 107 ms/chunk over a tunneled v5e vs ~6 ms compute)
+        start_w = min(max(c * chunk - halo, 0), Tp - window)
+        off = c * chunk - start_w
+        win = jax.lax.dynamic_slice_in_dim(mel, start_w, window, axis=1)
+        wav = vocode(variables, win)        # (B, window*hop)
+        pending.append((c * chunk * hop,
+                        wav[:, off * hop:(off + chunk) * hop]))
+    for start, wav in pending:
+        yield start, np.asarray(wav)
+
+
+def make_streaming_text2wav(
+    system,
+    state,
+    vocoder_model,
+    vocoder_variables,
+    max_mel_len: int,
+    chunk: int = 64,
+    halo: int = DEFAULT_HALO,
+    symbol_id=None,
+    fused_vocoder: bool = True,
+    **controls,
+):
+    """Returns stream(texts, src_lens, speaker_args, lang_ids) -> iterator
+    of (start_sample, wav_chunk, mel_len). FastSpeech2 synthesis runs once
+    (jitted, static bucket); audio then streams chunk-by-chunk through a
+    single fixed-window jitted vocoder. First audio = synthesis + one
+    window instead of synthesis + the whole utterance."""
+    params, batch_stats = state.params, state.batch_stats
+
+    @jax.jit
+    def synth(texts, src_lens, speaker_args, lang_ids):
+        out = system.synthesize(params, batch_stats, texts, src_lens,
+                                max_mel_len, speaker_args, lang_ids,
+                                symbol_id=symbol_id, **controls)
+        return out.postnet_mel, out.mel_len
+
+    def stream(texts, src_lens, speaker_args, lang_ids):
+        mel, mel_len = synth(texts, src_lens, speaker_args, lang_ids)
+        for start, wav in chunked_vocode(vocoder_model, vocoder_variables,
+                                         mel, chunk=chunk, halo=halo,
+                                         fused=fused_vocoder):
+            yield start, wav, np.asarray(mel_len)
+
+    return stream
