@@ -91,7 +91,7 @@ def main(iters: int = 20, dtype: str = "bfloat16", B: int = 8, T: int = 512):
 
     prev = timeit("conv_pre", Prefix(0, dtype=dt))
     for n in range(1, 5):
-        no_res = timeit(f"stages<= {n} (res up to {n-1})",
+        no_res = timeit(f"stages<= {n} (res up to {n-2}, none on {n-1})",
                         Prefix(n, with_res=False, dtype=dt))
         with_res = timeit(f"stages<= {n} (+res {n-1})",
                           Prefix(n, with_res=True, dtype=dt))

@@ -24,20 +24,14 @@ def make_text2wav(system, state, vocoder_model, vocoder_variables,
     within the bf16-path tolerance class). Other vocoders use .apply."""
     params, batch_stats = state.params, state.batch_stats
 
-    from fscl_tpu.models.hifigan import HiFiGANGenerator
-    use_fused = fused_vocoder and isinstance(vocoder_model, HiFiGANGenerator)
+    from fscl_tpu.ops.hifigan_fused import vocoder_apply
+    vocode = vocoder_apply(vocoder_model, fused_vocoder)
 
     @jax.jit
     def text2wav(texts, src_lens, speaker_args, lang_ids):
         out = system.synthesize(params, batch_stats, texts, src_lens,
                                 max_mel_len, speaker_args, lang_ids,
                                 symbol_id=symbol_id, **controls)
-        if use_fused:
-            from fscl_tpu.ops.hifigan_fused import fused_generator_apply
-            wav = fused_generator_apply(vocoder_model, vocoder_variables,
-                                        out.postnet_mel)
-        else:
-            wav = vocoder_model.apply(vocoder_variables, out.postnet_mel)
-        return wav, out.mel_len
+        return vocode(vocoder_variables, out.postnet_mel), out.mel_len
 
     return text2wav

@@ -23,16 +23,55 @@ measures both).
 from __future__ import annotations
 
 import functools
+import math
 from typing import Iterator, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-# mel-frame halo covering the generator's receptive field (measured for
-# the V1 config by single-frame perturbation: +-12.5 frames; 16 leaves
-# margin). Exactness is pinned by test, not by this constant alone.
+# fallback mel-frame halo for generators whose receptive field cannot be
+# derived from the module config (see generator_halo). For the HiFiGAN V1
+# config the analytic bound is 15 frames (measured by single-frame
+# perturbation: +-12.5).
 DEFAULT_HALO = 16
+
+
+def generator_hop(gen) -> Optional[int]:
+    """Samples emitted per mel frame, derived from the module config
+    (prod(upsample_rates)); None when the module doesn't declare rates."""
+    rates = getattr(gen, "upsample_rates", None)
+    if rates:
+        return int(np.prod(rates))
+    return None
+
+
+def generator_halo(gen) -> int:
+    """Mel-frame halo covering the generator's receptive field, derived
+    from the HiFiGAN config fields (+1 frame margin over the analytic
+    bound). A sample's reach back through the net, in mel frames:
+    conv_pre (k-1)/2, per stage ceil(k_up/2r) transposed-conv taps at the
+    incoming rate plus the MRF dilated-conv reach at the outgoing rate,
+    conv_post (k-1)/2 at the sample rate. Falls back to DEFAULT_HALO for
+    modules without these fields (e.g. MelGAN)."""
+    rates = getattr(gen, "upsample_rates", None)
+    kups = getattr(gen, "upsample_kernel_sizes", None)
+    rks = getattr(gen, "resblock_kernel_sizes", None)
+    rds = getattr(gen, "resblock_dilations", None)
+    if not (rates and kups and rks and rds):
+        return DEFAULT_HALO
+    rf = 3.0                                      # conv_pre, k=7
+    cum = 1.0
+    for r, k in zip(rates, kups):
+        rf += math.ceil(k / (2 * r)) / cum
+        cum *= r
+        # per resblock: dilated conv (rk-1)/2*d + following k-dilation-1
+        # conv (rk-1)/2, summed over the dilation stack; worst kernel wins
+        mrf = max(sum((rk - 1) // 2 * (d + 1) for d in rd)
+                  for rk, rd in zip(rks, rds))
+        rf += mrf / cum
+    rf += 3.0 / cum                               # conv_post, k=7
+    return int(math.ceil(rf)) + 1
 
 
 @functools.lru_cache(maxsize=16)
@@ -42,17 +81,8 @@ def _window_vocoder(gen, fused: bool):
     # a tunneled v5e vs 17 ms warm). Variables are a traced argument so
     # one compile serves any checkpoint; the window size is baked into
     # the traced shape (one compile per distinct window).
-    from fscl_tpu.models.hifigan import HiFiGANGenerator
-    use_fused = fused and isinstance(gen, HiFiGANGenerator)
-
-    @jax.jit
-    def vocode(variables, mel_win):         # (B, window, n_mels)
-        if use_fused:
-            from fscl_tpu.ops.hifigan_fused import fused_generator_apply
-            return fused_generator_apply(gen, variables, mel_win)
-        return gen.apply(variables, mel_win)
-
-    return vocode
+    from fscl_tpu.ops.hifigan_fused import vocoder_apply
+    return jax.jit(vocoder_apply(gen, fused))
 
 
 def chunked_vocode(
@@ -60,11 +90,15 @@ def chunked_vocode(
     variables,
     mel: jnp.ndarray,                       # (B, T_mel, n_mels)
     chunk: int = 64,
-    halo: int = DEFAULT_HALO,
-    hop: int = 256,
+    halo: Optional[int] = None,
+    hop: Optional[int] = None,
     fused: bool = True,
 ) -> Iterator[Tuple[int, np.ndarray]]:
     """Yield (start_sample, wav_chunk (B, chunk*hop)) left to right.
+
+    halo/hop default to values derived from the generator config
+    (generator_halo / generator_hop), so non-V1 upsample stacks get the
+    right receptive-field cover and sample rate automatically.
 
     Concatenating the chunks equals vocoding the whole mel (right-padded
     to a chunk multiple) in one call: windows are clamped INSIDE the mel,
@@ -77,6 +111,10 @@ def chunked_vocode(
     field of audio.) Slice the concatenation to T_mel*hop (or per-sample
     mel_len*hop) downstream.
     """
+    if halo is None:
+        halo = generator_halo(gen)
+    if hop is None:
+        hop = generator_hop(gen)
     B, T, _ = mel.shape
     n_chunks = -(-T // chunk)
     Tp = n_chunks * chunk
@@ -94,6 +132,12 @@ def chunked_vocode(
         off = c * chunk - start_w
         win = jax.lax.dynamic_slice_in_dim(mel, start_w, window, axis=1)
         wav = vocode(variables, win)        # (B, window*hop)
+        if hop is None:
+            hop = wav.shape[1] // window    # derive from the first window
+        if wav.shape[1] != window * hop:
+            raise ValueError(
+                f"vocoder emits {wav.shape[1]} samples for a {window}-frame "
+                f"window; expected window*hop = {window * hop}")
         pending.append((c * chunk * hop,
                         wav[:, off * hop:(off + chunk) * hop]))
     for start, wav in pending:
@@ -107,7 +151,7 @@ def make_streaming_text2wav(
     vocoder_variables,
     max_mel_len: int,
     chunk: int = 64,
-    halo: int = DEFAULT_HALO,
+    halo: Optional[int] = None,
     symbol_id=None,
     fused_vocoder: bool = True,
     **controls,
@@ -128,9 +172,10 @@ def make_streaming_text2wav(
 
     def stream(texts, src_lens, speaker_args, lang_ids):
         mel, mel_len = synth(texts, src_lens, speaker_args, lang_ids)
+        mel_len_np = np.asarray(mel_len)    # one device->host readback
         for start, wav in chunked_vocode(vocoder_model, vocoder_variables,
                                          mel, chunk=chunk, halo=halo,
                                          fused=fused_vocoder):
-            yield start, wav, np.asarray(mel_len)
+            yield start, wav, mel_len_np
 
     return stream

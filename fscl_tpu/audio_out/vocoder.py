@@ -16,14 +16,21 @@ import numpy as np
 
 
 class Vocoder:
-    def __init__(self, model, variables, kind: str = "HifiGAN"):
+    def __init__(self, model, variables, kind: str = "HifiGAN",
+                 fused: bool = True):
+        # fused routes HiFiGAN through the MXU-dense serving ops
+        # (ops/hifigan_fused.py); fused=False reproduces the module-apply
+        # waveform exactly (for A/B against earlier outputs), same flag
+        # as make_text2wav / make_streaming_text2wav.
         self.model = model
         self.variables = variables
         self.kind = kind
+        self.fused = fused
         self._jitted = None
 
     @classmethod
-    def from_checkpoint(cls, path: str, kind: str = "HifiGAN") -> "Vocoder":
+    def from_checkpoint(cls, path: str, kind: str = "HifiGAN",
+                        fused: bool = True) -> "Vocoder":
         """Load a torch generator checkpoint (official HiFi-GAN or
         melgan-neurips layout) or a saved flax param pytree.
 
@@ -49,7 +56,7 @@ class Vocoder:
         else:
             with open(path, "rb") as f:
                 variables = pickle.load(f)
-        return cls(model, variables, kind=kind)
+        return cls(model, variables, kind=kind, fused=fused)
 
     def infer(self, mel: np.ndarray) -> np.ndarray:
         """mel (T, n_mels) natural-log mel -> wav (T * 256,)."""
@@ -59,17 +66,10 @@ class Vocoder:
             scale = float(np.log(10.0)) if self.kind.lower() == "melgan" \
                 else 1.0
             # the reference feeds mel/ln(10) into MelGAN (tool.py:35)
-            from fscl_tpu.models.hifigan import HiFiGANGenerator
-            if isinstance(self.model, HiFiGANGenerator):
-                # MXU-dense serving path (ops/hifigan_fused.py): measured
-                # 1.4x the module apply on a v5e, numerics within the
-                # bf16-path tolerance class
-                from fscl_tpu.ops.hifigan_fused import fused_generator_apply
-                self._jitted = jax.jit(lambda m: fused_generator_apply(
-                    self.model, self.variables, m / scale))
-            else:
-                self._jitted = jax.jit(
-                    lambda m: self.model.apply(self.variables, m / scale))
+            from fscl_tpu.ops.hifigan_fused import vocoder_apply
+            apply = vocoder_apply(self.model, self.fused)
+            self._jitted = jax.jit(
+                lambda m: apply(self.variables, m / scale))
         wav = self._jitted(jnp.asarray(mel)[None])
         return np.asarray(wav)[0]
 

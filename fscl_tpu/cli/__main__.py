@@ -109,6 +109,13 @@ def main(argv=None):
                         "(required for speaker_emb dvec/encoder models)")
     s.add_argument("--output", default="output.wav")
     s.add_argument("--vocoder_ckpt", default=None)
+    s.add_argument("--stream", action="store_true",
+                   help="chunked vocoding with receptive-field halos "
+                        "(audio_out/streaming.py): audio is produced "
+                        "chunk-by-chunk and time-to-first-chunk is "
+                        "reported. HiFiGAN vocoder + --text only")
+    s.add_argument("--chunk", type=int, default=64,
+                   help="mel frames per streamed chunk (--stream)")
 
     e = sub.add_parser("evaluate", help="PER/FER over task output dirs")
     e.add_argument("dir")

@@ -71,8 +71,39 @@ def run(args):
         speaker_args, jnp.asarray([dc.lang_id]),
         symbol_id=dc.symbol_id)
     n = int(out.mel_len[0])
-    mel = np.asarray(out.postnet_mel)[0, :n]
 
+    if getattr(args, "stream", False):
+        assert args.vocoder_ckpt, "--stream needs --vocoder_ckpt"
+        assert model_cfg.vocoder.model.lower() != "melgan", (
+            "--stream supports the HiFiGAN vocoder (the halo derivation "
+            "reads HiFiGAN config fields)")
+        import time
+
+        from fscl_tpu.audio_out.streaming import chunked_vocode, generator_hop
+        from fscl_tpu.audio_out.vocoder import Vocoder
+        voc = Vocoder.from_checkpoint(args.vocoder_ckpt,
+                                      kind=model_cfg.vocoder.model)
+        hop = generator_hop(voc.model) or 256
+        chunk = max(1, args.chunk)
+        # vocode only the chunks covering the predicted mel_len, not the
+        # whole static T bucket
+        n_cover = min(T, -(-n // chunk) * chunk)
+        t0 = time.time()
+        pieces = []
+        for _, chunk_wav in chunked_vocode(voc.model, voc.variables,
+                                           out.postnet_mel[:, :n_cover],
+                                           chunk=chunk):
+            if not pieces:
+                print(f"[synth] first {chunk_wav.shape[1] / 22050:.2f} s of "
+                      f"audio ready in {(time.time() - t0) * 1e3:.1f} ms")
+            pieces.append(chunk_wav[0])
+        wav = np.concatenate(pieces)[: n * hop]
+        save_wav(args.output, wav, 22050)
+        print(f"[synth] {n} mel frames ({len(pieces)} chunks) -> "
+              f"{args.output}")
+        return
+
+    mel = np.asarray(out.postnet_mel)[0, :n]
     if args.vocoder_ckpt:
         from fscl_tpu.audio_out.vocoder import Vocoder
         # vocoder.model from the model YAML picks the architecture

@@ -459,3 +459,18 @@ def fused_generator_apply(gen, variables, mel):
                 gen.resblock_dilations, P=P, compute_dtype=cdt)
     return conv_post_packed(x, p["conv_post"]["kernel"],
                             p["conv_post"]["bias"], compute_dtype=cdt)
+
+
+def vocoder_apply(gen, fused: bool = True):
+    """Return the serving forward for a generator: callable(variables, mel).
+
+    The single dispatch point for the fused-vs-module policy shared by
+    audio_out/pipeline.py, audio_out/streaming.py and audio_out/vocoder.py:
+    a HiFiGANGenerator with fused=True routes through
+    `fused_generator_apply`; everything else (MelGAN, fused=False opt-out
+    for exact reproduction of module-apply waveforms) uses `gen.apply`.
+    """
+    from fscl_tpu.models.hifigan import HiFiGANGenerator
+    if fused and isinstance(gen, HiFiGANGenerator):
+        return functools.partial(fused_generator_apply, gen)
+    return gen.apply

@@ -149,6 +149,30 @@ def test_cli_train_then_synth(cli_corpus, tmp_path):
     assert r2.returncode == 0, r2.stderr[-2000:]
     assert os.path.isfile(out_wav) and os.path.getsize(out_wav) > 100
 
+    # streaming serving: chunked vocoding through a HiFiGAN checkpoint
+    import pickle
+
+    import jax
+    import jax.numpy as jnp
+    from fscl_tpu.models.hifigan import HiFiGANGenerator
+    # from_checkpoint builds the default V1 module, so the pickle must
+    # hold V1-shaped params
+    gen = HiFiGANGenerator()
+    voc_vars = gen.init(jax.random.PRNGKey(0), jnp.zeros((1, 4, 80)))
+    voc_path = str(tmp_path / "voc.pkl")
+    with open(voc_path, "wb") as f:
+        pickle.dump(voc_vars, f)
+    stream_wav = str(tmp_path / "stream.wav")
+    r2s = run_cli("synth", "--ckpt_dir", os.path.join(exp, "ckpt"),
+                  "--data_config", str(cli_corpus / "data.yaml"),
+                  "--model_config", str(cli_corpus / "model.yaml"),
+                  "--text", "{HH AY1 W ER1 L D}", "--output", stream_wav,
+                  "--vocoder_ckpt", voc_path, "--stream", "--chunk", "16")
+    assert r2s.returncode == 0, r2s.stderr[-2000:]
+    assert "s of audio ready in" in r2s.stdout
+    assert "chunks)" in r2s.stdout
+    assert os.path.isfile(stream_wav) and os.path.getsize(stream_wav) > 100
+
     # batch serving: --text_file over bucketed synthesis, dir of NNNN.wav
     tf = str(tmp_path / "lines.txt")
     with open(tf, "w") as f:
