@@ -81,8 +81,8 @@ def main(iters: int = 10, chunk: int = 64, dtype: str = "bfloat16"):
     # device-compute-only first-chunk latency: time until the first
     # window's wav is READY ON DEVICE (what a locally-attached server
     # sees), without the tunnel's per-readback host-transfer penalty
-    from fscl_tpu.audio_out.streaming import DEFAULT_HALO, _window_vocoder
-    window = chunk + 2 * DEFAULT_HALO
+    from fscl_tpu.audio_out.streaming import _window_vocoder, generator_halo
+    window = chunk + 2 * generator_halo(voc)
     vocode = _window_vocoder(voc, True)
 
     @jax.jit

@@ -37,6 +37,15 @@ import numpy as np
 DEFAULT_HALO = 16
 
 
+def _has_halo_fields(gen) -> bool:
+    """True when the module declares the HiFiGAN config fields
+    generator_halo derives the receptive field from."""
+    return bool(getattr(gen, "upsample_rates", None)
+                and getattr(gen, "upsample_kernel_sizes", None)
+                and getattr(gen, "resblock_kernel_sizes", None)
+                and getattr(gen, "resblock_dilations", None))
+
+
 def generator_hop(gen) -> Optional[int]:
     """Samples emitted per mel frame, derived from the module config
     (prod(upsample_rates)); None when the module doesn't declare rates."""
@@ -50,10 +59,13 @@ def generator_halo(gen) -> int:
     """Mel-frame halo covering the generator's receptive field, derived
     from the HiFiGAN config fields (+1 frame margin over the analytic
     bound). A sample's reach back through the net, in mel frames:
-    conv_pre (k-1)/2, per stage ceil(k_up/2r) transposed-conv taps at the
-    incoming rate plus the MRF dilated-conv reach at the outgoing rate,
-    conv_post (k-1)/2 at the sample rate. Falls back to DEFAULT_HALO for
-    modules without these fields (e.g. MelGAN)."""
+    conv_pre (k-1)/2, per stage the exact asymmetric transposed-conv
+    reach (k+r-2)/(2r) at the incoming rate (NOT ceil(k/(2r)), which
+    underestimates the forward reach for rate-1 or thin-kernel stages)
+    plus the MRF dilated-conv reach at the outgoing rate, conv_post
+    (k-1)/2 at the sample rate. Falls back to DEFAULT_HALO for modules
+    without these fields (e.g. MelGAN); exactness for any new config is
+    pinned by the chunked==full test (tests/test_streaming.py)."""
     rates = getattr(gen, "upsample_rates", None)
     kups = getattr(gen, "upsample_kernel_sizes", None)
     rks = getattr(gen, "resblock_kernel_sizes", None)
@@ -63,7 +75,7 @@ def generator_halo(gen) -> int:
     rf = 3.0                                      # conv_pre, k=7
     cum = 1.0
     for r, k in zip(rates, kups):
-        rf += math.ceil(k / (2 * r)) / cum
+        rf += ((k + r - 2) / (2 * r)) / cum
         cum *= r
         # per resblock: dilated conv (rk-1)/2*d + following k-dilation-1
         # conv (rk-1)/2, summed over the dilation stack; worst kernel wins
@@ -113,6 +125,20 @@ def chunked_vocode(
     """
     if halo is None:
         halo = generator_halo(gen)
+        if not _has_halo_fields(gen):
+            # DEFAULT_HALO covers HiFiGAN V1-sized receptive fields; an
+            # arbitrary convnet (e.g. MelGAN) can reach further, which
+            # would make chunked output silently diverge from the full
+            # vocode. The CLI refuses non-HiFiGAN streaming; API callers
+            # get a loud warning instead of silent divergence.
+            import warnings
+            warnings.warn(
+                f"chunked_vocode: {type(gen).__name__} does not declare "
+                f"HiFiGAN config fields; falling back to halo="
+                f"{DEFAULT_HALO} mel frames, which is NOT guaranteed to "
+                "cover this generator's receptive field. Pass an explicit "
+                "halo and pin chunked==full equality for this module.",
+                stacklevel=2)
     if hop is None:
         hop = generator_hop(gen)
     B, T, _ = mel.shape

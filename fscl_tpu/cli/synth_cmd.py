@@ -28,6 +28,7 @@ def run(args):
         return _run_batch(args, dc, model_cfg, system)
     assert args.text, "pass --text or --text_file"
 
+    sr = model_cfg.audio.sampling_rate   # 22050 default (AudioConfig)
     seq = text_to_sequence(args.text, dc.text_cleaners, dc.symbol_id)
     L = len(seq)
     texts = jnp.asarray(np.asarray(seq, np.int32)[None])
@@ -94,11 +95,11 @@ def run(args):
                                            out.postnet_mel[:, :n_cover],
                                            chunk=chunk):
             if not pieces:
-                print(f"[synth] first {chunk_wav.shape[1] / 22050:.2f} s of "
+                print(f"[synth] first {chunk_wav.shape[1] / sr:.2f} s of "
                       f"audio ready in {(time.time() - t0) * 1e3:.1f} ms")
             pieces.append(chunk_wav[0])
         wav = np.concatenate(pieces)[: n * hop]
-        save_wav(args.output, wav, 22050)
+        save_wav(args.output, wav, sr)
         print(f"[synth] {n} mel frames ({len(pieces)} chunks) -> "
               f"{args.output}")
         return
@@ -114,7 +115,7 @@ def run(args):
     else:
         from fscl_tpu.audio_out.vocoder import griffin_lim
         wav = griffin_lim(mel)
-    save_wav(args.output, wav, 22050)
+    save_wav(args.output, wav, sr)
     print(f"[synth] {n} mel frames -> {args.output}")
 
 
@@ -191,6 +192,6 @@ def _run_batch(args, dc, model_cfg, system):
                 from fscl_tpu.audio_out.vocoder import griffin_lim
                 wav = griffin_lim(mel)
             save_wav(os.path.join(args.output, f"{n_done:04d}.wav"),
-                     wav, 22050)
+                     wav, model_cfg.audio.sampling_rate)
             n_done += 1
     print(f"[synth] {n_done} utterances -> {args.output}/")
