@@ -159,25 +159,33 @@ def evaluate_pl_filter(
     values: List[float] = []
     n_skipped = 0
     for q in queries:
+        # IO and shape failures RAISE: a store-wide misconfiguration
+        # (wrong unit name, matrix feature never written, length
+        # mismatch) must not read as a high n_skipped. Only the strict
+        # unify-map KeyError — the reference's intended skip semantics
+        # (symbol_ref2unify[x1] on an unmapped symbol) — skips.
+        mat = np.asarray(mat_feature.read_from_query(q))
+        ref_phoneme = store.phoneme.read_from_query(q).strip().split(" ")
+        ref_segment = store.mfa_segment.read_from_query(q)
+        ref_seq = expand(ref_phoneme, segment2duration(ref_segment, fp))
+        if mat.shape[0] > len(ref_seq):
+            raise ValueError(
+                f"{matrix} for {q.get('basename', q)} has {mat.shape[0]} "
+                f"frames but the MFA reference expands to {len(ref_seq)}")
+        pred_seq = np.argmax(1.0 - mat, axis=1)
+        pred_value = np.max(1.0 - mat, axis=1)
         try:
-            mat = np.asarray(mat_feature.read_from_query(q))
-            ref_phoneme = store.phoneme.read_from_query(q).strip().split(" ")
-            ref_segment = store.mfa_segment.read_from_query(q)
-            ref_seq = expand(ref_phoneme, segment2duration(ref_segment, fp))
-            assert mat.shape[0] <= len(ref_seq)
-            pred_seq = np.argmax(1.0 - mat, axis=1)
-            pred_value = np.max(1.0 - mat, axis=1)
             # compute the whole utterance before extending the global
             # accumulators, so a mid-utterance KeyError skips it atomically
             utt_correct = [
                 1 if _map(symbol_ref2unify, x1)
                 == _map(symbol_pred2unify, str(x2)) else 0
                 for x1, x2 in zip(ref_seq, pred_seq)]
-            correct.extend(utt_correct)
-            values.extend(pred_value[: len(ref_seq)].tolist())
-        except Exception:
+        except KeyError:
             n_skipped += 1
             continue
+        correct.extend(utt_correct)
+        values.extend(pred_value[: len(ref_seq)].tolist())
 
     n_frames = len(correct)
     correct_arr = np.asarray(correct)

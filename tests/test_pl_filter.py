@@ -116,13 +116,39 @@ def test_propagation_preserves_distribution_shape():
     assert (out >= 0).all()
 
 
-def test_skip_accounting(tmp_path):
+def test_skip_accounting_unmapped_symbol(tmp_path):
+    """The intended skip: a strict unify-map KeyError (the reference's
+    symbol_ref2unify[x1] on an unmapped symbol) skips that utterance
+    atomically; the mapped utterance still counts."""
+    store, q = _mini_store(tmp_path)
+    q2 = {"spk": "s", "basename": "u2"}
+    store.save_metadata([q, q2])
+    store.phoneme.save("z", q2)                  # 'z' not in REF2UNIFY
+    store.mfa_segment.save([[0.0, 0.6]], q2)     # 30 frames at fp=0.02
+    generate_ssl_units(store, "units", lambda _q: _logits(),
+                       queries=[q, q2])
+    result = evaluate_pl_filter(store, "units", REF2UNIFY, PRED2UNIFY)
+    assert result["n_skipped"] == 1 and result["n_frames"] == 30
+
+
+def test_io_failure_raises_not_skips(tmp_path):
+    """A store-wide misconfiguration (matrix never written for an
+    utterance) must raise, not inflate n_skipped (VERDICT r3 weak #5)."""
+    import pytest
+
     store, q = _mini_store(tmp_path)
     q2 = {"spk": "s", "basename": "u2"}
     store.save_metadata([q, q2])
     store.phoneme.save("a", q2)
     store.mfa_segment.save([[0.0, 0.2]], q2)
     generate_ssl_units(store, "units", lambda _q: _logits(), queries=[q])
-    # u2 has no matrix -> skipped, u1 evaluated
-    result = evaluate_pl_filter(store, "units", REF2UNIFY, PRED2UNIFY)
-    assert result["n_skipped"] == 1 and result["n_frames"] == 30
+    with pytest.raises(FileNotFoundError):
+        evaluate_pl_filter(store, "units", REF2UNIFY, PRED2UNIFY)
+    # an impossible frame count (matrix longer than the MFA expansion)
+    # is a shape error, not a skip
+    us = store.get_ssl_unit_store("units")
+    lm = np.asarray(us.lp_matrix.read_from_query(q))
+    us.lp_matrix.save(np.concatenate([lm, lm], axis=0), q)
+    with pytest.raises(ValueError):
+        evaluate_pl_filter(store, "units", REF2UNIFY, PRED2UNIFY,
+                           queries=[q])
