@@ -121,12 +121,190 @@ MODEL_CONFIG = {
 }
 
 
+class _TorchHiFiGANV1(torch.nn.Module):
+    """Minimal torch HiFi-GAN V1 generator for CPU baseline timing only.
+
+    The reference consumes HiFiGAN through dlhlp_lib.vocoders (external
+    torch code, lightning/utils/tool.py:20-42); that package is absent in
+    this image, so the baseline harness instantiates the same public V1
+    architecture (conv_pre k7 80->512, 4x ConvTranspose1d upsampling
+    8/8/2/2 with 3-kernel MRF resblocks, conv_post k7 + tanh) to time the
+    mel->wav stage. Weights are random — throughput is weight-independent.
+    """
+
+    def __init__(self, rates=(8, 8, 2, 2), kups=(16, 16, 4, 4),
+                 rks=(3, 7, 11), dils=(1, 3, 5), ch0=512):
+        super().__init__()
+        self.conv_pre = torch.nn.Conv1d(80, ch0, 7, padding=3)
+        self.ups = torch.nn.ModuleList()
+        self.res = torch.nn.ModuleList()
+        ch = ch0
+        for r, k in zip(rates, kups):
+            self.ups.append(torch.nn.ConvTranspose1d(
+                ch, ch // 2, k, stride=r, padding=(k - r) // 2))
+            ch //= 2
+            stage = torch.nn.ModuleList()
+            for rk in rks:
+                convs = torch.nn.ModuleList()
+                for d in dils:
+                    convs.append(torch.nn.Conv1d(
+                        ch, ch, rk, dilation=d, padding=(rk - 1) // 2 * d))
+                    convs.append(torch.nn.Conv1d(
+                        ch, ch, rk, padding=(rk - 1) // 2))
+                stage.append(convs)
+            self.res.append(stage)
+        self.conv_post = torch.nn.Conv1d(ch, 1, 7, padding=3)
+
+    def forward(self, mel):                      # (B, 80, T)
+        x = self.conv_pre(mel)
+        for up, stage in zip(self.ups, self.res):
+            x = up(F.leaky_relu(x, 0.1))
+            acc = None
+            for convs in stage:
+                h = x
+                for i in range(0, len(convs), 2):
+                    y = convs[i](F.leaky_relu(h, 0.1))
+                    y = convs[i + 1](F.leaky_relu(y, 0.1))
+                    h = h + y
+                acc = h if acc is None else acc + h
+            x = acc / len(stage)
+        return torch.tanh(self.conv_post(F.leaky_relu(x, 0.1)))[:, 0]
+
+
+def _loss_inputs(spk, texts, src_lens, L, mels, mel_lens, T, p, e, d,
+                 lang):
+    """The reference batch tuple as FastSpeech2Loss consumes it: it
+    unpacks EXACTLY six target fields from inputs[6:]
+    (lightning/model/loss.py:15-23), i.e. the 13-field collate tuple
+    without its trailing lang_ids."""
+    return (None, None, spk, texts, src_lens, L, mels, mel_lens, T, p, e,
+            d)
+
+
+def measure_train(model, emb, iters=8, B=16, L=128, T=512):
+    """Reference CPU supervised train step (fwd + loss + bwd + Adam) at
+    the SAME shapes as the TPU bench row
+    (benchmarks/bench_train_precision.py: B=16, L=128, T=512)."""
+    from lightning.model.loss import FastSpeech2Loss
+
+    loss_fn = FastSpeech2Loss(MODEL_CONFIG)
+    model.train()
+    opt = torch.optim.Adam(
+        list(model.parameters()) + list(emb.parameters()),
+        lr=1e-4, betas=(0.9, 0.98))   # config/train/fscl.yaml optimizer
+    g = torch.Generator().manual_seed(0)
+    texts = torch.randint(1, 361, (B, L), generator=g)
+    src_lens = torch.full((B,), L, dtype=torch.long)
+    d = torch.full((B, L), T // L, dtype=torch.long)   # fills T exactly
+    mels = torch.randn(B, T, 80, generator=g)
+    mel_lens = d.sum(1)
+    p = torch.randn(B, L, generator=g)
+    e = torch.randn(B, L, generator=g)
+    spk = torch.zeros(B, dtype=torch.long)
+    lang = torch.zeros(B, dtype=torch.long)
+
+    def one_step():
+        opt.zero_grad()
+        out = model(spk, emb(texts), src_lens, L, mels, mel_lens, T, p, e,
+                    d, lang_args=lang)
+        losses = loss_fn(_loss_inputs(spk, texts, src_lens, L, mels,
+                                      mel_lens, T, p, e, d, lang), out)
+        losses[0].backward()
+        opt.step()
+        return float(losses[0].item())
+
+    one_step()                                   # warmup
+    t0 = time.time()
+    for _ in range(iters):
+        loss = one_step()
+    dt = time.time() - t0
+    return {"train_steps_per_sec": iters / dt, "train_iters": iters,
+            "train_loss": loss, "train_batch": B, "train_text_len": L,
+            "train_mel_len": T}
+
+
+def measure_adapt(model, emb, steps=30, B=4, L=64, T=256):
+    """Reference CPU few-shot adaptation inner loop at the SAME shapes as
+    the TPU bench row (benchmarks/bench_adaptation.py: B=4, L=64, T=256,
+    SGD lr 1e-4, fresh batch per step)."""
+    from lightning.model.loss import FastSpeech2Loss
+
+    loss_fn = FastSpeech2Loss(MODEL_CONFIG)
+    model.train()
+    opt = torch.optim.SGD(
+        list(model.parameters()) + list(emb.parameters()), lr=1e-4)
+    g = torch.Generator().manual_seed(1)
+    batches = []
+    for _ in range(steps + 1):
+        d = torch.full((B, L), T // L, dtype=torch.long)
+        batches.append((
+            torch.randint(1, 100, (B, L), generator=g),
+            torch.randn(B, T, 80, generator=g), d,
+            torch.randn(B, L, generator=g), torch.randn(B, L, generator=g)))
+    src_lens = torch.full((B,), L, dtype=torch.long)
+    spk = torch.zeros(B, dtype=torch.long)
+    lang = torch.zeros(B, dtype=torch.long)
+
+    def one_step(b):
+        texts, mels, d, p, e = b
+        mel_lens = d.sum(1)
+        opt.zero_grad()
+        out = model(spk, emb(texts), src_lens, L, mels, mel_lens, T, p, e,
+                    d, lang_args=lang)
+        losses = loss_fn(_loss_inputs(spk, texts, src_lens, L, mels,
+                                      mel_lens, T, p, e, d, lang), out)
+        losses[0].backward()
+        opt.step()
+
+    one_step(batches[0])                         # warmup
+    t0 = time.time()
+    for b in batches[1:]:
+        one_step(b)
+    dt = time.time() - t0
+    return {"adapt_steps_per_sec": steps / dt, "adapt_steps": steps}
+
+
+def measure_e2e(model, iters=1, B=8, L=128, sr=22050, hop=256):
+    """Reference CPU end-to-end TTS serving (synthesis + HiFiGAN V1
+    vocoder), same workload as benchmarks/bench_e2e_tts.py. Returns the
+    realtime factor: seconds of audio produced per wall second. The
+    vocoder dominates and runs ~minutes per full batch on a 1-vCPU host,
+    so the default is ONE measured iteration after a small warmup — the
+    realtime factor normalizes by audio seconds, so fewer/shorter
+    iterations do not bias it."""
+    voc = _TorchHiFiGANV1().eval()
+    g = torch.Generator().manual_seed(2)
+    emb = torch.randn(B, L, 256, generator=g)
+    src_lens = torch.full((B,), L, dtype=torch.long)
+    spk = torch.zeros(B, dtype=torch.long)
+    lang = torch.zeros(B, dtype=torch.long)
+    model.eval()
+    with torch.no_grad():
+        voc(torch.randn(1, 80, 32, generator=g))   # small warmup
+        t0 = time.time()
+        audio_sec = 0.0
+        for _ in range(iters):
+            out = model(spk, emb, src_lens, L, lang_args=lang)
+            mel = out[1][:, : int(out[9].max().item())]
+            wav = voc(mel.transpose(1, 2))
+            audio_sec += float(out[9].sum().item()) * hop / sr
+        dt = time.time() - t0
+    return {"e2e_realtime_factor": audio_sec / dt, "e2e_iters": iters,
+            "e2e_wav_samples": int(wav.shape[-1])}
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--len", type=int, default=128, dest="length")
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--threads", type=int, default=0)
+    ap.add_argument("--mode", default="synth",
+                    choices=["synth", "train", "adapt", "e2e", "all"],
+                    help="which reference CPU baseline(s) to measure; "
+                         "non-synth results merge into baseline_cpu.json "
+                         "(VERDICT r3 #2: every headline metric gets a "
+                         "non-null vs_baseline)")
     ap.add_argument("--dur_bias", type=float, default=5.0,
                     help="pin the duration head's output bias to "
                          "log(DUR_BIAS) frames/phoneme so the untrained "
@@ -187,30 +365,44 @@ def main():
             model.variance_adaptor.duration_predictor.linear_layer.bias \
                 .fill_(math.log(args.dur_bias))
 
-    B, L = args.batch, args.length
-    g = torch.Generator().manual_seed(0)
-    emb = torch.randn(B, L, 256, generator=g)
-    src_lens = torch.full((B,), L, dtype=torch.long)
-    spk = torch.zeros(B, dtype=torch.long)
-    lang = torch.zeros(B, dtype=torch.long)
-
-    with torch.no_grad():
-        out = model(spk, emb, src_lens, L, lang_args=lang)  # warmup
-        t0 = time.time()
-        frames = 0
-        for _ in range(args.iters):
-            out = model(spk, emb, src_lens, L, lang_args=lang)
-            frames += int(out[9].sum().item())   # mel_lens
-        dt = time.time() - t0
-
-    result = {
-        "metric": "mel-frames/sec (reference torch CPU synthesis)",
-        "value": frames / dt,
-        "batch": B, "text_len": L, "iters": args.iters,
-        "torch_threads": torch.get_num_threads(),
-    }
-    print(json.dumps(result))
     out_path = os.path.join(_HERE, "baseline_cpu.json")
+    result = {}
+    if os.path.exists(out_path):
+        with open(out_path) as f:
+            result = json.load(f)
+
+    if args.mode in ("synth", "all"):
+        B, L = args.batch, args.length
+        g = torch.Generator().manual_seed(0)
+        emb = torch.randn(B, L, 256, generator=g)
+        src_lens = torch.full((B,), L, dtype=torch.long)
+        spk = torch.zeros(B, dtype=torch.long)
+        lang = torch.zeros(B, dtype=torch.long)
+
+        with torch.no_grad():
+            out = model(spk, emb, src_lens, L, lang_args=lang)  # warmup
+            t0 = time.time()
+            frames = 0
+            for _ in range(args.iters):
+                out = model(spk, emb, src_lens, L, lang_args=lang)
+                frames += int(out[9].sum().item())   # mel_lens
+            dt = time.time() - t0
+        result.update({
+            "metric": "mel-frames/sec (reference torch CPU synthesis)",
+            "value": frames / dt,
+            "batch": B, "text_len": L, "iters": args.iters,
+            "torch_threads": torch.get_num_threads(),
+        })
+    if args.mode in ("train", "all"):
+        emb_table = torch.nn.Embedding(361, 256)
+        result.update(measure_train(model, emb_table))
+    if args.mode in ("adapt", "all"):
+        emb_table = torch.nn.Embedding(361, 256)
+        result.update(measure_adapt(model, emb_table))
+    if args.mode in ("e2e", "all"):
+        result.update(measure_e2e(model))
+
+    print(json.dumps(result))
     with open(out_path, "w") as f:
         json.dump(result, f, indent=2)
 
