@@ -42,10 +42,15 @@ def run(args):
         fp = 0.02
         params = None
         if getattr(args, "upstream_ckpt", None):
-            from fscl_tpu.models.hubert import convert_torch_checkpoint
+            from fscl_tpu.models.hubert import (convert_torch_checkpoint,
+                                                make_upstream)
             import torch
+            from fscl_tpu.core.config import UpstreamConfig
+            up_cfg = UpstreamConfig.from_name(args.source)
             params = convert_torch_checkpoint(
-                torch.load(args.upstream_ckpt, map_location="cpu"))
+                torch.load(args.upstream_ckpt, map_location="cpu"),
+                layer_norm_first=make_upstream(args.source,
+                                               up_cfg).layer_norm_first)
         # bucketed + batched + jitted forwards, one SSL layer's hidden
         # states precomputed for every query (fixes the old per-utterance
         # path, which recompiled per wav length and reduced the hidden

@@ -151,13 +151,27 @@ class HiFiGANGenerator(nn.Module):
 
 def convert_torch_checkpoint(state_dict) -> dict:
     """Map an official HiFi-GAN generator state_dict (weight-norm convs) to
-    this module's params."""
+    this module's params. Accepts every released packaging of the same
+    weights: the official training checkpoint ({"generator": sd}), flat
+    state_dicts, and "generator."- / "module."- (DataParallel) prefixed
+    keys; torch>=2.1 re-parametrized weight-norm keys
+    (parametrizations.weight.original0/1) also convert."""
+    if "generator" in state_dict and isinstance(state_dict["generator"], dict):
+        state_dict = state_dict["generator"]
+    for prefix in ("generator.", "module."):
+        if state_dict and all(k.startswith(prefix) for k in state_dict):
+            state_dict = {k[len(prefix):]: v for k, v in state_dict.items()}
+
     def t(x):
         return np.asarray(x.detach().cpu().numpy() if hasattr(x, "detach") else x)
 
     def wn(prefix):
-        g = t(state_dict[f"{prefix}.weight_g"])
-        v = t(state_dict[f"{prefix}.weight_v"])
+        if f"{prefix}.weight_g" in state_dict:
+            g = t(state_dict[f"{prefix}.weight_g"])
+            v = t(state_dict[f"{prefix}.weight_v"])
+        else:
+            g = t(state_dict[f"{prefix}.parametrizations.weight.original0"])
+            v = t(state_dict[f"{prefix}.parametrizations.weight.original1"])
         w = g * v / np.linalg.norm(v.reshape(v.shape[0], -1),
                                    axis=1).reshape(-1, 1, 1)
         return w, t(state_dict[f"{prefix}.bias"])
@@ -165,7 +179,8 @@ def convert_torch_checkpoint(state_dict) -> dict:
     p = {}
     w, b = wn("conv_pre")
     p["conv_pre"] = {"kernel": w.transpose(2, 1, 0), "bias": b}
-    n_ups = len([k for k in state_dict if k.startswith("ups.") and k.endswith("weight_g")])
+    n_ups = len([k for k in state_dict if k.startswith("ups.")
+                 and (k.endswith("weight_g") or k.endswith("original0"))])
     n_res_per = 3
     for i in range(n_ups):
         w, b = wn(f"ups.{i}")

@@ -37,14 +37,28 @@ def ssl_num_frames(n_samples: int) -> int:
 
 
 class ConvFeatureExtractor(nn.Module):
-    """7-layer strided conv stack; group-norm on the first layer, GELU."""
+    """7-layer strided conv stack, GELU. Two norm modes matching the
+    released checkpoint families (fairseq `extractor_mode`, mirrored by
+    HF `feat_extract_norm`):
+
+    - "group_norm" (base models): bias-less convs, one GroupNorm after
+      the first conv only;
+    - "layer_norm" (hubert-large / wav2vec2-large / XLSR): biased convs,
+      a per-channel LayerNorm after EVERY conv.
+    """
+    mode: str = "group_norm"
+
     @nn.compact
     def __call__(self, wav):                       # (B, T)
+        assert self.mode in ("group_norm", "layer_norm"), self.mode
         x = wav[..., None]                          # (B, T, 1)
         for i, (dim, k, s) in enumerate(CONV_SPEC):
             x = nn.Conv(dim, (k,), strides=(s,), padding="VALID",
-                        use_bias=False, name=f"conv_{i}")(x)
-            if i == 0:
+                        use_bias=(self.mode == "layer_norm"),
+                        name=f"conv_{i}")(x)
+            if self.mode == "layer_norm":
+                x = nn.LayerNorm(name=f"conv_ln_{i}")(x)
+            elif i == 0:
                 x = nn.GroupNorm(num_groups=dim, name="group_norm")(x)
             x = nn.gelu(x)
         return x                                    # (B, T', 512)
@@ -118,12 +132,16 @@ class SSLUpstream(nn.Module):
     pos_conv_kernel: int = 128
     pos_conv_groups: int = 16
     scan_layers: bool = False
+    # "group_norm" for the base models, "layer_norm" for *-large / XLSR
+    # (fairseq extractor_mode / HF feat_extract_norm)
+    extractor_mode: str = "group_norm"
 
     @nn.compact
     def __call__(self, wav, wav_valid=None):
         """wav: (B, T) 16 kHz float. Returns (hidden (B, T', n_layers+1, dim),
         frame_valid (B, T'))."""
-        feats = ConvFeatureExtractor(name="feature_extractor")(wav)
+        feats = ConvFeatureExtractor(self.extractor_mode,
+                                     name="feature_extractor")(wav)
         Tp = feats.shape[1]
         if wav_valid is not None:
             n_valid = jnp.sum(wav_valid.astype(jnp.int32), axis=-1)
@@ -192,7 +210,7 @@ def pre_transformer_features(upstream: "SSLUpstream", params, wav,
     import jax.numpy as jnp
 
     p = params["params"] if "params" in params else params
-    feats = ConvFeatureExtractor().apply(
+    feats = ConvFeatureExtractor(upstream.extractor_mode).apply(
         {"params": p["feature_extractor"]}, wav)
     Tp = feats.shape[1]
     if wav_valid is not None:
@@ -328,23 +346,112 @@ def make_upstream(name: str = "hubert_large_ll60k", cfg=None) -> SSLUpstream:
         return SSLUpstream(dim=dim, n_layers=max(cfg.n_layers - 1, 1),
                            n_heads=max(dim // 64, 2), ffn_dim=4 * dim,
                            scan_layers=scan)
-    return SSLUpstream(scan_layers=scan)     # large: 1024d, 24 layers
+    # large models (hubert_large_ll60k / wav2vec2_large_ll60k / xlsr_53,
+    # Define.py:32-51): 1024d, 24 layers, layer-norm conv extractor
+    return SSLUpstream(scan_layers=scan, extractor_mode="layer_norm")
 
 
-def convert_torch_checkpoint(state_dict) -> dict:
-    """Convert a HuggingFace HubertModel/Wav2Vec2Model state_dict into this
-    module's param pytree. Offline environments skip this (random init)."""
+def normalize_checkpoint_layout(state_dict) -> dict:
+    """Normalize any released SSL checkpoint layout into the HF key
+    naming `convert_torch_checkpoint` consumes. Handles (reference
+    consumes all three families interchangeably via s3prl,
+    Define.py:32-51):
+
+    - container dicts: fairseq checkpoints ({"model": sd, "cfg": ...}),
+      s3prl hub files ({"model_weight": sd}), generic {"state_dict": sd};
+    - module-path prefixes: "model.", "w2v_model.",
+      "w2v_encoder.w2v_model." (fairseq fine-tuned CTC checkpoints);
+    - fairseq key names -> HF names (self_attn -> attention,
+      fc1/fc2 -> feed_forward.*, post_extract_proj ->
+      feature_projection.projection, numeric conv-block indices ->
+      conv/layer_norm, encoder.pos_conv.0 -> pos_conv_embed.conv).
+
+    Keys neither family needs (mask_emb, label_embs_concat, quantizer,
+    final_proj, masked_spec_embed, ...) pass through and are ignored by
+    the converter."""
+    sd = state_dict
+    for container in ("model", "model_weight", "state_dict"):
+        if container in sd and isinstance(sd[container], dict):
+            sd = sd[container]
+            break
+    for prefix in ("w2v_encoder.w2v_model.", "w2v_model.", "model."):
+        if sd and all(k.startswith(prefix) for k in sd):
+            sd = {k[len(prefix):]: v for k, v in sd.items()}
+    if "feature_projection.projection.weight" in sd:
+        return dict(sd)                     # already HF-named
+    if "post_extract_proj.weight" not in sd:
+        return dict(sd)                     # unknown layout: pass through
+
+    out = {}
+    for k, v in sd.items():
+        nk = k
+        if k.startswith("feature_extractor.conv_layers."):
+            parts = k.split(".")
+            i, sub = parts[2], parts[3:]
+            if sub[0] == "0":               # Sequential index 0 = conv
+                nk = (f"feature_extractor.conv_layers.{i}.conv."
+                      f"{sub[-1]}")
+            else:                           # ".2.{w,b}" (GN) / ".2.1.{w,b}" (LN)
+                nk = (f"feature_extractor.conv_layers.{i}.layer_norm."
+                      f"{sub[-1]}")
+        elif k.startswith("post_extract_proj."):
+            nk = "feature_projection.projection." + k.split(".", 1)[1]
+        elif k.startswith("layer_norm."):   # post-extract LN (top level)
+            nk = "feature_projection." + k
+        elif k.startswith("encoder.pos_conv.0."):
+            nk = ("encoder.pos_conv_embed.conv."
+                  + k[len("encoder.pos_conv.0."):])
+        elif k.startswith("encoder.layers."):
+            parts = k.split(".", 3)
+            sub = parts[3]
+            sub = (sub.replace("self_attn_layer_norm.", "layer_norm.")
+                   if sub.startswith("self_attn_layer_norm.") else
+                   sub.replace("self_attn.", "attention.")
+                   .replace("fc1.", "feed_forward.intermediate_dense.")
+                   .replace("fc2.", "feed_forward.output_dense."))
+            nk = f"encoder.layers.{parts[2]}.{sub}"
+        out[nk] = v
+    return out
+
+
+def convert_torch_checkpoint(state_dict, layer_norm_first: bool = True) -> dict:
+    """Convert an SSL upstream checkpoint into this module's param pytree.
+    Accepts HuggingFace HubertModel/Wav2Vec2Model state_dicts as well as
+    fairseq / s3prl layouts (normalize_checkpoint_layout). Both conv-
+    extractor norm modes convert: group_norm (base models) and the
+    per-layer layer_norm + conv-bias mode (hubert-large / wav2vec2-large /
+    XLSR). `layer_norm_first` must match the target module: post-LN base
+    models (False) consume `encoder.layer_norm` as the post-pos-conv
+    `encoder_layer_norm`; pre-LN models (True, the large family) apply it
+    only after the final layer, which the s3prl hidden-state convention
+    omits. Offline environments skip this (random init)."""
     import numpy as np
+
+    state_dict = normalize_checkpoint_layout(state_dict)
 
     def t(x):
         return np.asarray(x.detach().cpu().numpy() if hasattr(x, "detach") else x)
 
+    # per-layer LNs beyond layer 0 identify the layer_norm extractor mode
+    layer_mode = ("feature_extractor.conv_layers.1.layer_norm.weight"
+                  in state_dict)
     p = {}
     fe = {}
     for i in range(len(CONV_SPEC)):
         conv_w = t(state_dict[f"feature_extractor.conv_layers.{i}.conv.weight"])
         fe[f"conv_{i}"] = {"kernel": conv_w.transpose(2, 1, 0)}
-    if "feature_extractor.conv_layers.0.layer_norm.weight" in state_dict:
+        bias_key = f"feature_extractor.conv_layers.{i}.conv.bias"
+        if bias_key in state_dict:
+            fe[f"conv_{i}"]["bias"] = t(state_dict[bias_key])
+        if layer_mode:
+            fe[f"conv_ln_{i}"] = {
+                "scale": t(state_dict[
+                    f"feature_extractor.conv_layers.{i}.layer_norm.weight"]),
+                "bias": t(state_dict[
+                    f"feature_extractor.conv_layers.{i}.layer_norm.bias"]),
+            }
+    if not layer_mode and (
+            "feature_extractor.conv_layers.0.layer_norm.weight" in state_dict):
         fe["group_norm"] = {
             "scale": t(state_dict["feature_extractor.conv_layers.0.layer_norm.weight"]),
             "bias": t(state_dict["feature_extractor.conv_layers.0.layer_norm.bias"]),
@@ -354,6 +461,11 @@ def convert_torch_checkpoint(state_dict) -> dict:
         "scale": t(state_dict["feature_projection.layer_norm.weight"]),
         "bias": t(state_dict["feature_projection.layer_norm.bias"]),
     }
+    if not layer_norm_first and "encoder.layer_norm.weight" in state_dict:
+        p["encoder_layer_norm"] = {
+            "scale": t(state_dict["encoder.layer_norm.weight"]),
+            "bias": t(state_dict["encoder.layer_norm.bias"]),
+        }
     p["post_extract_proj"] = {
         "kernel": t(state_dict["feature_projection.projection.weight"]).T,
         "bias": t(state_dict["feature_projection.projection.bias"]),
