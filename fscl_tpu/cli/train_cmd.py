@@ -159,7 +159,7 @@ def run(args):
         pre = CheckpointManager(args.pretrain_ckpt)
         state = pre.restore_into(state)
     if args.resume and mgr.all_steps():
-        state = mgr.restore_into(state)
+        state = mgr.restore_into(state, full=True)
 
     mesh = None
     up_parallel = getattr(args, "upstream_parallel", "none") or "none"

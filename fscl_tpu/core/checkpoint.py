@@ -17,6 +17,7 @@ import re
 from typing import Any, Callable, Dict, Iterable, Optional, Tuple
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 
@@ -125,15 +126,39 @@ class CheckpointManager:
         return self._ckptr.restore(self._path(step))
 
     def restore_into(self, state, step: Optional[int] = None,
-                     remap: Optional[Dict[str, str]] = None):
+                     remap: Optional[Dict[str, str]] = None,
+                     full: bool = False):
         """Shape-tolerant restore into an existing TrainState: stripped/
-        missing submodules keep their fresh init."""
+        missing submodules keep their fresh init.
+
+        `full=False` (warm-start semantics, the reference's
+        `load_from_checkpoint(pretrain_ckpt)`, main.py:186-192): params
+        only — training restarts at step 0 with fresh optimizer moments.
+        `full=True` (resume semantics, main.py:104-110): also restore the
+        step counter, optimizer moments and batch_stats so the LR
+        schedule and Adam trajectory CONTINUE where they stopped (pinned
+        by tests/test_trainer_resume.py). Structures that do not match
+        the live state (e.g. a different optimizer) keep the fresh init."""
         restored = self.restore(step)
         params = restored.get("params", restored)
         if remap:
             params = remap_keys(params, remap)
         merged = merge_shape_tolerant(_state_to_tree(state)["params"], params)
-        return state.replace(params=merged)
+        state = state.replace(params=merged)
+        if not full:
+            return state
+        if restored.get("step") is not None:
+            state = state.replace(
+                step=jnp.asarray(restored["step"], jnp.int32))
+        for field in ("opt_state", "batch_stats"):
+            got = restored.get(field)
+            if got is None:
+                continue
+            target = getattr(state, field)
+            rebuilt = _rebuild_like(target, got)
+            if rebuilt is not None:
+                state = state.replace(**{field: rebuilt})
+        return state
 
     def all_steps(self):
         steps = []
@@ -150,6 +175,22 @@ class CheckpointManager:
         import shutil
         for s in steps[: -self.max_to_keep]:
             shutil.rmtree(self._path(s), ignore_errors=True)
+
+
+def _rebuild_like(target, restored):
+    """Rebuild `restored` (a checkpointer's dict-ified pytree) into the
+    structure of `target` (e.g. optax namedtuple states): leaves are taken
+    from `restored` in tree order and unflattened with target's treedef.
+    Returns None when leaf counts or shapes disagree (different optimizer
+    / model: resume keeps the fresh init for that field)."""
+    t_leaves, t_def = jax.tree_util.tree_flatten(target)
+    r_leaves = jax.tree_util.tree_leaves(restored)
+    if len(t_leaves) != len(r_leaves):
+        return None
+    if any(np.shape(a) != np.shape(b)
+           for a, b in zip(t_leaves, r_leaves)):
+        return None
+    return jax.tree_util.tree_unflatten(t_def, r_leaves)
 
 
 def _state_to_tree(state) -> Dict[str, Any]:

@@ -295,3 +295,24 @@ def test_cli_train_fscl_upstream_parallel(cli_corpus, tmp_path):
     assert "[parallel] frozen upstream pp over 2 model-axis devices" \
         in r.stdout
     assert "done at step 1" in r.stdout
+
+
+@pytest.mark.slow
+def test_cli_train_interrupt_resume(cli_corpus, tmp_path):
+    """`fscl_tpu train ... --resume` (reference main.py:91-110): a second
+    invocation picks up the saved step counter and runs only the
+    remaining steps to total_step."""
+    exp = str(tmp_path / "exp_resume")
+    r = run_cli("train", "--system", "baseline",
+                "--data_config", str(cli_corpus / "data.yaml"),
+                "--model_config", str(cli_corpus / "model.yaml"),
+                "--exp_dir", exp, "--total_step", "2")
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "done at step 2" in r.stdout
+    r2 = run_cli("train", "--system", "baseline",
+                 "--data_config", str(cli_corpus / "data.yaml"),
+                 "--model_config", str(cli_corpus / "model.yaml"),
+                 "--exp_dir", exp, "--total_step", "4", "--resume")
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    assert "done at step 4" in r2.stdout
+    assert os.path.isdir(os.path.join(exp, "ckpt", "step_00000004"))
