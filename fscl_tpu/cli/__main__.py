@@ -27,10 +27,13 @@ def main(argv=None):
     p.add_argument("--create_dataset", action="store_true")
     p.add_argument("--n_workers", type=int, default=4)
     p.add_argument("--pitch_method", default=None,
-                   choices=["world", "yin", "yin_device"],
+                   choices=["world", "yin", "yin_device",
+                            "world_device"],
                    help="override the preprocess YAML's "
                         "preprocessing.pitch.method (world = reference "
-                        "parity; yin_device = batched on-TPU tracker)")
+                        "parity; world_device = the same DIO "
+                        "algorithm batched on-TPU; yin_device = "
+                        "batched on-TPU YIN)")
     p.add_argument("--debug", action="store_true",
                    help="limit to 128 utterances (reference --debug)")
 

@@ -229,12 +229,16 @@ def _crossing_track(y: np.ndarray, fs: float, negative: bool):
 def extract_pitch(wav, sr: int = 22050, hop_length: int = 256,
                   use_cpp: bool = True, method: str = "world"):
     """F0 at the mel hop. method="world" (default; DIO-style + refinement,
-    the reference's pyworld role), "yin", or "yin_device" (batched XLA
-    tracker, dsp/pitch_device.py). C++ kernels when built, numpy fallback
-    otherwise."""
+    the reference's pyworld role), "world_device" (the SAME DIO algorithm
+    batched on the TPU, dsp/world_device.py), "yin", or "yin_device"
+    (batched XLA YIN, dsp/pitch_device.py). C++ kernels when built, numpy
+    fallback otherwise."""
     if method == "yin_device":
         from fscl_tpu.dsp.pitch_device import yin_f0_device
         return yin_f0_device(wav, sr, hop_length)
+    if method == "world_device":
+        from fscl_tpu.dsp.world_device import world_f0_device
+        return world_f0_device(wav, sr, hop_length)
     if method == "world":
         if use_cpp:
             try:

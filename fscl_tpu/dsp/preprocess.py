@@ -69,24 +69,31 @@ def _get_mel_fn(padded_len: int, audio: AudioConfig):
 _mel_pitch_fns = {}
 
 
-def _get_mel_pitch_fn(padded_len: int, audio: AudioConfig):
-    """Cached jitted fused log-mel + energy + YIN F0 for one wav bucket —
+def _get_mel_pitch_fn(padded_len: int, audio: AudioConfig,
+                      tracker: str = "yin"):
+    """Cached jitted fused log-mel + energy + F0 for one wav bucket —
     one upload and one round trip per batch instead of two (the mel and
-    pitch passes consume the SAME (B, bucket) padded wavs)."""
+    pitch passes consume the SAME (B, bucket) padded wavs). `tracker`
+    picks the on-device algorithm: "yin" (dsp/pitch_device.py) or
+    "world" (the parity-default DIO, dsp/world_device.py)."""
     import jax
 
-    from fscl_tpu.dsp.pitch_device import yin_f0_batched
     from fscl_tpu.ops.stft import mel_spectrogram
 
-    key = (padded_len, audio)
+    key = (padded_len, audio, tracker)
     if key not in _mel_pitch_fns:
+        if tracker == "world":
+            from fscl_tpu.dsp.world_device import world_f0_batched as f0_fn
+        else:
+            from fscl_tpu.dsp.pitch_device import yin_f0_batched as f0_fn
+
         def fused(w, lens):
             mel, energy = mel_spectrogram(
                 w, sr=audio.sampling_rate, n_fft=audio.n_fft,
                 hop_length=audio.hop_length, win_length=audio.win_length,
                 n_mels=audio.n_mels, fmin=audio.mel_fmin, fmax=audio.mel_fmax)
-            f0 = yin_f0_batched(w, lens, sr=audio.sampling_rate,
-                                hop_length=audio.hop_length)
+            f0 = f0_fn(w, lens, sr=audio.sampling_rate,
+                       hop_length=audio.hop_length)
             return mel, energy, f0
 
         _mel_pitch_fns[key] = jax.jit(fused)
@@ -341,14 +348,17 @@ def _preprocess_chunk_batched(store, items, audio, pitch_method,
     # TPU fused into the SAME jitted call as mel/energy (one upload + one
     # round trip per batch; dsp/pitch_device.py) — on a slow host the
     # per-utterance C++/numpy pitch pass dominates otherwise.
-    device_pitch = pitch_method == "yin_device"
+    device_pitch = pitch_method in ("yin_device", "world_device")
     groups: Dict[int, List[int]] = {}
     for i, rec in enumerate(recs):
         groups.setdefault(
             bucket_len(len(rec["trim22"]), _WAV_BUCKETS), []).append(i)
     for bucket, idxs in groups.items():
-        fn = (_get_mel_pitch_fn(bucket, audio) if device_pitch
-              else _get_mel_fn(bucket, audio))
+        fn = (_get_mel_pitch_fn(
+                  bucket, audio,
+                  tracker="world" if pitch_method == "world_device"
+                  else "yin")
+              if device_pitch else _get_mel_fn(bucket, audio))
         for c in range(0, len(idxs), device_batch):
             chunk = idxs[c: c + device_batch]
             padded = np.zeros((device_batch, bucket), np.float32)
