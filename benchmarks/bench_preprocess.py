@@ -107,6 +107,24 @@ def main(n_utts: int = 20, dur_s: float = 5.0):
         "audio_realtime_factor": round(n_utts * dur_s / dt, 1),
     }))
 
+    # batched + ON-DEVICE WORLD pitch (world_device): the parity-default
+    # DIO algorithm on the TPU (dsp/world_device.py, VERDICT r3 #6)
+    preprocess_utterances_batched(store, items[:2], device_batch=8,
+                                  pitch_method="world_device")  # warm
+    t0 = time.time()
+    samples, ok = preprocess_utterances_batched(
+        store, items, device_batch=8, pitch_method="world_device")
+    dt = time.time() - t0
+    assert len(ok) == n_utts
+    print(json.dumps({
+        "metric": "preprocessing_utterances_per_sec_batched_world_device",
+        "value": round(n_utts / dt, 2),
+        "unit": "utt/s",
+        "utt_seconds": dur_s,
+        "device_batch": 8,
+        "audio_realtime_factor": round(n_utts * dur_s / dt, 1),
+    }))
+
 
 if __name__ == "__main__":
     main()

@@ -131,8 +131,20 @@ def _corpora(args, phases):
     return meta_cfgs, target_cfg
 
 
+def _gate(report, name, ok, detail, enforced=True):
+    """Record a quality gate (VERDICT r3 #8: rehearsals must FAIL when
+    adaptation stops improving synthesis quality, not just log numbers).
+    `enforced=False` records the outcome without failing the run — used
+    for smoke-preset runs whose handful of adaptation steps cannot
+    meaningfully move a quality metric."""
+    report.setdefault("gates", {})[name] = {
+        "ok": bool(ok), "detail": detail, "enforced": bool(enforced)}
+
+
 def _finish(args, phases, report, lines):
-    """Write rehearsal.json and print the per-flow summary table."""
+    """Write rehearsal.json and print the per-flow summary table; exit
+    nonzero when an enforced quality gate failed (the report is written
+    FIRST so the artifact records the failure)."""
     report["phase_seconds"] = {k: phases.times[k] for k in phases.order}
     report["total_seconds"] = sum(phases.times.values())
     out_path = os.path.join(args.exp_dir, "rehearsal.json")
@@ -145,7 +157,16 @@ def _finish(args, phases, report, lines):
     print(f"  {'TOTAL':<12} {report['total_seconds']:8.1f}s")
     for line in lines:
         print(f"  {line}")
+    for name, g in report.get("gates", {}).items():
+        status = "ok" if g["ok"] else (
+            "FAIL" if g["enforced"] else "fail (advisory)")
+        print(f"  gate {name}: {status} — {g['detail']}")
     print(f"  report: {out_path}")
+    failed = [n for n, g in report.get("gates", {}).items()
+              if g["enforced"] and not g["ok"]]
+    if failed:
+        print(f"  QUALITY GATES FAILED: {', '.join(failed)}")
+        return 1
     return 0
 
 
@@ -347,6 +368,28 @@ def run_fscl(args):
                                target_cfg.symbol_id)
         b_state = b_state.replace(params=new_params)
 
+    # pre-adaptation quality reference (VERDICT r3 #8): teacher-forced MCD
+    # with the TRANSPLANT-ONLY params on the held-out query split — the
+    # post-adaptation MCD must beat this or the rehearsal fails
+    qry_ds = FastSpeech2Dataset(
+        os.path.join(task_dir, "val.txt"), target_store, task_cfg, model_cfg)
+    _, qry_batch = collate_batch(
+        [qry_ds[i] for i in range(len(qry_ds))], **_var_kw(model_cfg))
+    tf_fn = jax.jit(
+        lambda p, bs, b: baseline.forward(p, bs, b, None, False)[0])
+
+    def _tf_mcd(params):
+        tf = tf_fn(params, b_state.batch_stats, qry_batch)
+        tf_mel = np.asarray(tf.postnet_mel)
+        return tf, float(np.mean([mel_cepstral_distortion(
+            tf_mel[i][: int(qry_batch.mel_lens[i])],
+            np.asarray(qry_batch.mels[i][: int(qry_batch.mel_lens[i])]))
+            for i in range(len(qry_ds))]))
+
+    with phases("eval-pre"):
+        _, mcd_pre = _tf_mcd(b_state.params)
+        report["mcd_teacher_forced_transplant_only"] = mcd_pre
+
     # ---- 5. adapt ---------------------------------------------------------
     with phases("adapt"):
         # pack the task's train split: the 20k-step chunked scan is host-
@@ -375,11 +418,7 @@ def run_fscl(args):
     report["adapt_steps_per_s"] = args.adapt_steps / phases.times["adapt"]
 
     # ---- 6. synthesis -----------------------------------------------------
-    qry_ds = FastSpeech2Dataset(
-        os.path.join(task_dir, "val.txt"), target_store, task_cfg, model_cfg)
     with phases("synthesis"):
-        _, qry_batch = collate_batch(
-            [qry_ds[i] for i in range(len(qry_ds))], **_var_kw(model_cfg))
         out = baseline.synthesize_bucketed(
             adapted, b_state.batch_stats, qry_batch.texts,
             qry_batch.src_lens, qry_batch.speaker_args, qry_batch.lang_ids)
@@ -408,18 +447,18 @@ def run_fscl(args):
     # ---- 7. eval ----------------------------------------------------------
     with phases("eval"):
         # teacher-forced MCD vs ground-truth mels (the BASELINE.md quality
-        # metric): same targets, same durations. Jitted: the eager forward
-        # dispatches per-op over the tunnel (~57 s full-size); one compiled
-        # program is seconds.
-        tf = jax.jit(
-            lambda p, bs, b: baseline.forward(p, bs, b, None, False)[0]
-        )(adapted, b_state.batch_stats, qry_batch)
+        # metric): same targets, same durations; the program compiled for
+        # the pre-adaptation reference is reused.
+        tf, mcd_post = _tf_mcd(adapted)
         tf_mel = np.asarray(tf.postnet_mel)
-        mcds = [mel_cepstral_distortion(
-            tf_mel[i][: int(qry_batch.mel_lens[i])],
-            np.asarray(qry_batch.mels[i][: int(qry_batch.mel_lens[i])]))
-            for i in range(len(qry_ds))]
-        report["mcd_teacher_forced"] = float(np.mean(mcds))
+        report["mcd_teacher_forced"] = mcd_post
+        # The ABSOLUTE value is not interpretable on a synthetic rehearsal
+        # corpus (sine-mixture "speech" whose ground-truth mels are far
+        # from any model manifold); the pre-vs-post DELTA under identical
+        # accounting is the signal (VERDICT r3 weak #3).
+        report["mcd_note"] = (
+            "synthetic-corpus mels make absolute MCD uninterpretable; "
+            "quality signal = transplant-only vs adapted delta")
 
         # duration quality as frame-level FER/PER through the real eval
         # harness: gt = MFA segments, pred = PREDICTED-duration segments.
@@ -447,6 +486,19 @@ def run_fscl(args):
                           "gt_segment": gt_seg, "pred_segment": pred_seg})
         report["duration_fer"] = fer_over_infos(infos)
 
+    # quality gates: the rehearsal FAILS if adaptation stopped improving
+    # synthesis quality (advisory below 100 steps — a smoke run's handful
+    # of SGD steps cannot meaningfully move MCD)
+    serious = args.adapt_steps >= 100
+    _gate(report, "adapt_loss_improves",
+          report["adapt_last_loss"] < report["adapt_first_loss"],
+          f"{report['adapt_first_loss']:.3f} -> "
+          f"{report['adapt_last_loss']:.3f}", enforced=serious)
+    _gate(report, "mcd_improves_with_adaptation",
+          mcd_post < mcd_pre,
+          f"teacher-forced MCD transplant-only {mcd_pre:.3f} -> "
+          f"adapted {mcd_post:.3f}", enforced=serious)
+
     return _finish(args, phases, report, [
         f"meta loss {report['meta_first_loss']:.3f} -> "
         f"{report['meta_last_loss']:.3f} "
@@ -455,7 +507,8 @@ def run_fscl(args):
         f"{report['adapt_last_loss']:.3f} "
         f"({report['adapt_steps_per_s']:.1f} steps/s)",
         f"synthesis {report['synth_frames_per_s']:.0f} mel-frames/s",
-        f"MCD(tf) {report['mcd_teacher_forced']:.3f}  "
+        f"MCD(tf) {report['mcd_teacher_forced']:.3f} "
+        f"(transplant-only {mcd_pre:.3f})  "
         f"duration-FER {report['duration_fer']:.3f}",
     ])
 
@@ -641,6 +694,13 @@ def run_t2u(args):
                                    target_cfg.symbol_id)
         t_state = t_state.replace(params=new_params)
 
+    # pre-tune quality reference (VERDICT r3 #8): teacher-forced unit
+    # accuracy with the TRANSPLANT-ONLY embedding on the first tune batch
+    eval_fn = jax.jit(t2u_sys.eval_step)
+    with phases("eval-pre"):
+        m_pre = eval_fn(t_state, tb0, jax.random.PRNGKey(30))
+        report["tune_unit_acc_transplant_only"] = float(m_pre["Acc"])
+
     with phases("tune"):
         tstep = jax.jit(t2u_sys.train_step, donate_argnums=0)
         key = jax.device_put(jax.random.PRNGKey(32))
@@ -652,6 +712,20 @@ def run_t2u(args):
         report["tune_last_loss"] = float(m["Total Loss"])
         report["tune_unit_acc"] = float(m["Acc"])
     report["tune_steps_per_s"] = args.tune_steps / phases.times["tune"]
+    # post-tune accuracy on the SAME batch the pre-tune reference used
+    m_post = eval_fn(t_state, tb0, jax.random.PRNGKey(30))
+    report["tune_unit_acc_post"] = float(m_post["Acc"])
+    serious = args.tune_steps >= 100
+    _gate(report, "tune_loss_improves",
+          report["tune_last_loss"] < report["tune_first_loss"],
+          f"{report['tune_first_loss']:.3f} -> "
+          f"{report['tune_last_loss']:.3f}", enforced=serious)
+    _gate(report, "unit_acc_improves_with_tune",
+          report["tune_unit_acc_post"]
+          > report["tune_unit_acc_transplant_only"],
+          f"teacher-forced unit acc transplant-only "
+          f"{report['tune_unit_acc_transplant_only']:.3f} -> tuned "
+          f"{report['tune_unit_acc_post']:.3f}", enforced=serious)
 
     # the tune loop donated its state each step, deleting the buffers
     # u2s_state pointed at (the frozen u2s now travels in TrainState.frozen
@@ -841,6 +915,18 @@ def run_pr(args):
         report["per"] = per_over_infos(infos)
         report["fer"] = fer_over_infos(infos)
         report["n_eval_utts"] = len(infos)
+
+    # quality gates: protonet training must reduce the episodic loss, and
+    # zero-shot transcription must beat chance frame accuracy (a protonet
+    # that ignores its support set scores ~1/n_ways; FER ~0.95+)
+    serious = args.episodes >= 100
+    _gate(report, "pr_loss_improves",
+          report["pr_last_loss"] < report["pr_first_loss"],
+          f"{report['pr_first_loss']:.3f} -> {report['pr_last_loss']:.3f}",
+          enforced=serious)
+    _gate(report, "fer_beats_chance", report["fer"] < 0.9,
+          f"zero-shot FER {report['fer']:.3f} (chance ~0.95+)",
+          enforced=serious)
 
     return _finish(args, phases, report, [
         f"pr loss {report['pr_first_loss']:.3f} -> "
