@@ -31,8 +31,8 @@ from fscl_tpu.systems.baseline import BaselineSystem
 from fscl_tpu.systems.tune import adapt_many_on_chip, adapt_on_chip
 
 n_tasks = {n_tasks}
-n_steps = 100
-B, L, T = 4, 128, 512
+n_steps = {n_steps}
+B, L, T = 4, {L}, {T}
 cfg = ModelConfig(speaker=SpeakerConfig(n_speakers=64), max_seq_len=1000)
 system = BaselineSystem(cfg, OptimConfig(), (("en", 361),))
 rng = np.random.default_rng(0)
@@ -77,8 +77,10 @@ print(json.dumps({{"n_tasks": n_tasks, "aggregate_steps_per_sec": agg}}))
 """
 
 
-def run_once(n_tasks: int, timeout: int = 1800):
-    code = _CHILD.format(repo=REPO, n_tasks=n_tasks)
+def run_once(n_tasks: int, timeout: int = 1800, n_steps: int = 100,
+             L: int = 128, T: int = 512):
+    code = _CHILD.format(repo=REPO, n_tasks=n_tasks, n_steps=n_steps,
+                         L=L, T=T)
     proc = subprocess.run([sys.executable, "-c", code],
                           capture_output=True, text=True, timeout=timeout,
                           cwd=REPO)
@@ -92,26 +94,37 @@ def run_once(n_tasks: int, timeout: int = 1800):
 def main():
     n_repeats = int(sys.argv[1]) if len(sys.argv) > 1 else 3
     out = {}
-    for n_tasks in (1, 4):
-        vals = []
-        for i in range(n_repeats):
-            try:
-                v = run_once(n_tasks)
-                vals.append(v)
-                print(f"n_tasks={n_tasks} run {i}: {v:.1f} agg steps/s",
-                      flush=True)
-            except Exception as e:
-                print(f"n_tasks={n_tasks} run {i} FAILED: {str(e)[:200]}",
-                      flush=True)
-        if vals:
-            out[n_tasks] = {
-                "median": float(np.median(vals)),
-                "min": float(np.min(vals)), "max": float(np.max(vals)),
-                "spread_pct": float(
-                    100 * (np.max(vals) - np.min(vals))
-                    / max(np.median(vals), 1e-9)),
-                "n": len(vals),
-            }
+    # Two protocols, NOT one metric (this is the round-3 "2x disagreement"
+    # between 524 and 1041 steps/s — different WORKLOADS, not noise):
+    #   legacy stability shapes: L=128/T=512 per 4-shot step (100-step scan)
+    #   canonical bench.py shapes (bench_adaptation): L=64/T=256, 200-step
+    # The canonical row is what BENCH_rNN.json's adaptation metric reports.
+    protocols = {
+        "legacy_L128_T512": dict(n_steps=100, L=128, T=512, tasks=(1, 4)),
+        "canonical_L64_T256": dict(n_steps=200, L=64, T=256, tasks=(1,)),
+    }
+    for name, p in protocols.items():
+        for n_tasks in p["tasks"]:
+            key = f"{name}/n_tasks={n_tasks}"
+            vals = []
+            for i in range(n_repeats):
+                try:
+                    v = run_once(n_tasks, n_steps=p["n_steps"], L=p["L"],
+                                 T=p["T"])
+                    vals.append(v)
+                    print(f"{key} run {i}: {v:.1f} agg steps/s", flush=True)
+                except Exception as e:
+                    print(f"{key} run {i} FAILED: {str(e)[:200]}",
+                          flush=True)
+            if vals:
+                out[key] = {
+                    "median": float(np.median(vals)),
+                    "min": float(np.min(vals)), "max": float(np.max(vals)),
+                    "spread_pct": float(
+                        100 * (np.max(vals) - np.min(vals))
+                        / max(np.median(vals), 1e-9)),
+                    "n": len(vals),
+                }
     print(json.dumps(out, indent=2))
 
 
