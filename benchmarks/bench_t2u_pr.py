@@ -64,18 +64,27 @@ def run_unit_decode(B=8, L=64, iters=10):
     max_steps = model.cfg.max_decoder_ratio * L
 
     @jax.jit
-    def infer(v, e, sl, r):
-        return model.apply(v, e, sl, r, method="infer")
+    def infer(v, e, sl, r, feedback):
+        # the previous call's output perturbs this call's input: on the
+        # tunneled backend only threaded-state loops measure honestly
+        # (BASELINE.md round-2 pitfalls); the threaded and distinct-key
+        # protocols agree at 1.6 ms here (round-4 session)
+        logits, preds, n_steps, al = model.apply(
+            v, e + 1e-6 * feedback, sl, r, method="infer")
+        return preds, n_steps, jnp.mean(logits) * jnp.ones_like(e)
 
+    fb = jnp.zeros_like(emb)
     t0 = time.time()
-    out = infer(variables, emb, src_lens, jax.random.PRNGKey(2))
+    out = infer(variables, emb, src_lens, jax.random.PRNGKey(2), fb)
     jax.block_until_ready(out)
     compile_s = time.time() - t0
 
+    fb = out[2]
     t0 = time.time()
     for i in range(iters):
-        out = infer(variables, emb, src_lens, jax.random.PRNGKey(3 + i))
-    jax.block_until_ready(out)
+        _, _, fb = infer(variables, emb, src_lens,
+                         jax.random.PRNGKey(3 + i), fb)
+    jax.block_until_ready(fb)
     dt = time.time() - t0
     units = B * max_steps * iters
     return {
@@ -213,6 +222,9 @@ def run_pr(B=8, wav_s=4.0, iters=20, n_symbols=64):
     n_frames = pred.shape[1]
     t0 = time.time()
     for _ in range(iters):
+        # thread the previous prediction into the input so iterations
+        # serialize honestly on the tunneled backend
+        dw = dw + 1e-9 * pred[:, :1].astype(jnp.float32)
         pred = transcribe(state.params, state.frozen, protos, dw, dl)
     jax.block_until_ready(pred)
     dt = time.time() - t0
