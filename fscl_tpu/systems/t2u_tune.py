@@ -174,6 +174,17 @@ class E2ETuneSystem(TacoT2USystem):
         table = self._u2s_unit_table(u2s_params)
         n_units = table.shape[0]
         probs = probs[..., :n_units]
+        # The t2u side pads units (incl. <eos>) to its own bucket; the u2s
+        # side strips <eos> and buckets independently — at a bucket edge
+        # (max unit len == bucket) the two padded lengths diverge. Valid
+        # u2s positions (src_lens, eos-stripped) are always covered by the
+        # t2u logits, so reconcile statically to the u2s padded length.
+        T_u = u2s_batch.durations.shape[1]
+        if probs.shape[1] > T_u:
+            probs = probs[:, :T_u]
+        elif probs.shape[1] < T_u:
+            probs = jnp.pad(
+                probs, ((0, 0), (0, T_u - probs.shape[1]), (0, 0)))
         emb = jnp.einsum("btu,ud->btd", probs, table,
                          preferred_element_type=jnp.float32)
         model_vars = {"params": u2s_params["model"]}

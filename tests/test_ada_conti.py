@@ -144,6 +144,51 @@ def test_e2e_tune_chain():
     assert float(metrics["U2S Loss"]) > 0
 
 
+def test_e2e_tune_chain_bucket_edge():
+    """Regression (round-4 full-preset rehearsal): the t2u side pads units
+    (incl. <eos>) to its own bucket while the u2s side strips <eos> and
+    buckets independently — at a bucket edge the padded lengths diverge
+    (e.g. 9 units -> 16 on the t2u side vs 8 on the u2s side). u2s_forward
+    must reconcile to the u2s padded length."""
+    from fscl_tpu.systems.baseline import BaselineSystem
+    from fscl_tpu.systems.t2u import T2UBatch
+    from fscl_tpu.systems.t2u_tune import E2EBatch, E2ETuneSystem
+    rng = np.random.default_rng(7)
+    u2s = BaselineSystem(CFG, OptimConfig(), (("unit", TCFG.n_units),))
+    u2s_state = u2s.init_state(jax.random.PRNGKey(0), make_batch(rng))
+
+    B, L, TU = 2, 6, 8          # 8 valid units
+    units = rng.integers(1, TCFG.n_units, (B, TU)).astype(np.int32)
+    # t2u view: units + eos, padded past the u2s bucket (16 > 8)
+    t2u_units = np.zeros((B, 2 * TU), np.int32)
+    t2u_units[:, :TU] = units
+    t2u_units[:, TU] = 1        # eos token slot
+    t2u_batch = T2UBatch(
+        speaker_args=np.zeros(B, np.int32),
+        texts=rng.integers(1, N_SYM, (B, L)).astype(np.int32),
+        src_lens=np.full((B,), L, np.int32),
+        units=t2u_units,
+        unit_lens=np.full((B,), TU + 1, np.int32),
+        lang_ids=np.zeros(B, np.int32))
+    u2s_b = Batch(
+        speaker_args=np.zeros(B, np.int32),
+        texts=units, src_lens=np.full((B,), TU, np.int32),
+        mels=rng.normal(size=(B, 16, 80)).astype(np.float32),
+        mel_lens=np.full((B,), 16, np.int32),
+        pitches=rng.normal(size=(B, TU)).astype(np.float32),
+        energies=rng.normal(size=(B, TU)).astype(np.float32),
+        durations=np.full((B, TU), 2, np.int32),
+        lang_ids=np.zeros(B, np.int32))
+    batch = E2EBatch(t2u=t2u_batch, u2s=u2s_b)
+    system = E2ETuneSystem(CFG, OptimConfig(), (("en", N_SYM),), TCFG,
+                           u2s, u2s_state.params, u2s_state.batch_stats)
+    state = system.init_state(jax.random.PRNGKey(1), batch)
+    state, metrics = jax.jit(system.train_step)(
+        state, batch, jax.random.PRNGKey(2))
+    assert np.isfinite(float(metrics["Total Loss"]))
+    assert float(metrics["U2S Loss"]) > 0
+
+
 def test_da_tune():
     from fscl_tpu.systems.t2u import T2UBatch
     from fscl_tpu.systems.t2u_tune import DABatch, DATuneSystem
