@@ -2,8 +2,9 @@
 
 Re-design of lightning/model/modules.py:18-298 with the Python-loop length
 regulator replaced by the static-shape gather in ops.length_regulator, and
-torch.bucketize replaced by jnp.digitize over precomputed bin edges derived
-from the global normalization stats (modules.py:41-75).
+torch.bucketize replaced by ops.bucketize.digitize (a compare-reduce fusion;
+jnp.digitize's binary search serializes on TPU) over precomputed bin edges
+derived from the global normalization stats (modules.py:41-75).
 """
 from __future__ import annotations
 
@@ -15,6 +16,7 @@ import numpy as np
 
 from fscl_tpu.core.config import ModelConfig
 from fscl_tpu.core.stats import GlobalStats
+from fscl_tpu.ops.bucketize import digitize
 from fscl_tpu.ops.length_regulator import regulate_lengths
 from fscl_tpu.ops.masking import length_mask
 
@@ -132,10 +134,10 @@ class VarianceAdaptor(nn.Module):
         def add_variance(feats, predictor, emb_table, edges, target, valid, control):
             prediction = predictor(feats, valid, deterministic)
             if target is not None:
-                emb = emb_table(jnp.digitize(target, edges))
+                emb = emb_table(digitize(target, edges))
             else:
                 prediction = prediction * control
-                emb = emb_table(jnp.digitize(prediction, edges))
+                emb = emb_table(digitize(prediction, edges))
             return prediction, emb
 
         pitch_prediction = energy_prediction = None

@@ -22,6 +22,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from fscl_tpu.ops.bucketize import searchsorted_right
+
 
 @jax.custom_vjp
 def _gather_expand(x, idx, valid):
@@ -67,8 +69,10 @@ def regulate_lengths(
     mel_len = csum[:, -1]                              # (B,)
     t = jnp.arange(max_mel_len, dtype=jnp.int32)       # (T,)
 
-    # frame -> phoneme index: number of boundaries <= t  (vmapped searchsorted)
-    idx = jax.vmap(lambda c: jnp.searchsorted(c, t, side="right"))(csum)  # (B, T)
+    # frame -> phoneme index: number of boundaries <= t. One compare-reduce
+    # fusion; jnp.searchsorted's binary search is a serial while on TPU
+    # (ops/bucketize.py).
+    idx = searchsorted_right(csum, t)                  # (B, T)
     valid = t[None, :] < mel_len[:, None]
     idx = jnp.clip(idx, 0, x.shape[1] - 1)
     out = _gather_expand(x, idx, valid)
@@ -87,7 +91,7 @@ def gather_frame_labels(
     csum = jnp.cumsum(durations, axis=-1)
     mel_len = csum[:, -1]
     t = jnp.arange(max_mel_len, dtype=jnp.int32)
-    idx = jax.vmap(lambda c: jnp.searchsorted(c, t, side="right"))(csum)
+    idx = searchsorted_right(csum, t)
     valid = t[None, :] < mel_len[:, None]
     idx = jnp.clip(idx, 0, labels.shape[1] - 1)
     out = jnp.take_along_axis(labels, idx, axis=1)

@@ -17,6 +17,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from fscl_tpu.ops.bucketize import searchsorted_right
+
 
 def segment_mean(
     reprs: jnp.ndarray,       # (B, T, ...) frame features
@@ -36,7 +38,7 @@ def segment_mean(
     csum = jnp.cumsum(durations, axis=-1)                     # (B, L)
     total = csum[:, -1]
     t = jnp.arange(T, dtype=jnp.int32)
-    seg_id = jax.vmap(lambda c: jnp.searchsorted(c, t, side="right"))(csum)  # (B, T)
+    seg_id = searchsorted_right(csum, t)               # (B, T)
     in_range = t[None, :] < total[:, None]
     # out-of-range frames go to a trash segment L
     seg_id = jnp.where(in_range, jnp.clip(seg_id, 0, L - 1), L)
@@ -114,7 +116,7 @@ def frame_phoneme_query_extract(
     csum = jnp.cumsum(durations, axis=-1)
     total = csum[:, -1]
     t = jnp.arange(T, dtype=jnp.int32)
-    seg_id = jax.vmap(lambda c: jnp.searchsorted(c, t, side="right"))(csum)
+    seg_id = searchsorted_right(csum, t)
     in_range = t[None, :] < total[:, None]
     seg_id_c = jnp.clip(seg_id, 0, L - 1)
     phn = jnp.take_along_axis(phonemes.astype(jnp.int32), seg_id_c, axis=1)
