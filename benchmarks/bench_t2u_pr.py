@@ -149,9 +149,12 @@ def run_chained(B=8, L=64, n_units_seq=192, iters=10):
     # model calls, TransEmbE2ETune.py:169-193), so the staged timing IS
     # the serving number, not a concession.
     @jax.jit
-    def s_t2u(t2u_vars, e, sl, r, fb):
-        # fb threads the previous iteration's output into this one so
-        # the loop serializes honestly on the tunneled backend
+    def s_t2u(t2u_vars, e, sl, r, prev_wav):
+        # the previous iteration's wav perturbs this one's input so the
+        # loop serializes honestly on the tunneled backend — computed
+        # IN-JIT: every eager op between iterations is its own tunnel
+        # dispatch (~30 ms each measured under load, round-4 session)
+        fb = jnp.mean(prev_wav.astype(jnp.float32))
         _, preds, _, _ = model.apply(t2u_vars, e + 1e-6 * fb, sl, r,
                                      method="infer")
         return jnp.clip(preds[:, :n_units_seq], 0, 519).astype(jnp.int32)
@@ -175,8 +178,8 @@ def run_chained(B=8, L=64, n_units_seq=192, iters=10):
         # 2026-08-19) and would dominate the ~100 ms of real compute
         return frames + jnp.sum(mel_len)
 
-    def chain(fb, r, frames):
-        units = s_t2u(variables, emb, src_lens, r, fb)
+    def chain(prev_wav, r, frames):
+        units = s_t2u(variables, emb, src_lens, r, prev_wav)
         mel, mel_len = s_u2s(u2s_params, u2s_state.batch_stats, units)
         wav = s_voc(voc_vars, mel)
         return wav, s_acc(frames, mel_len)
@@ -184,10 +187,16 @@ def run_chained(B=8, L=64, n_units_seq=192, iters=10):
     print("[chained] models initialized; compiling stages...",
           file=sys.stderr, flush=True)
     t0 = time.time()
-    wav, frames = chain(jnp.zeros_like(emb), jax.random.PRNGKey(6),
+    wav0 = jnp.zeros((B, T_mel * 256), jnp.float32)
+    wav, frames = chain(wav0, jax.random.PRNGKey(6),
                         jnp.zeros((), jnp.int32))
     # real host readback: block_until_ready is not honest on the tunnel,
     # so without this the warmup's execution drains into the timed loop
+    _ = float(jnp.sum(wav[:1, :8].astype(jnp.float32))) + int(frames)
+    # second warmup with the REAL wav shape: if s_voc's output shape
+    # differs from wav0's guess, s_t2u would otherwise recompile inside
+    # the timed loop
+    wav, frames = chain(wav, jax.random.PRNGKey(6), jnp.zeros((), jnp.int32))
     _ = float(jnp.sum(wav[:1, :8].astype(jnp.float32))) + int(frames)
     compile_s = time.time() - t0
     print(f"[chained] compiled in {compile_s:.1f}s; timing...",
@@ -196,10 +205,9 @@ def run_chained(B=8, L=64, n_units_seq=192, iters=10):
     t0 = time.time()
     frames = jnp.zeros((), jnp.int32)
     for i in range(iters):
-        # threading wav's mean into the next input serializes iterations
-        # honestly without any host round-trip
-        fb = jnp.zeros_like(emb) + jnp.mean(wav.astype(jnp.float32))
-        wav, frames = chain(fb, jax.random.PRNGKey(7 + i), frames)
+        # the previous wav threads into the next input INSIDE s_t2u —
+        # iterations serialize honestly with zero eager ops in the loop
+        wav, frames = chain(wav, jax.random.PRNGKey(7 + i), frames)
     audio_s = int(frames) * HOP / SR_MEL      # ONE readback ends the timing
     _ = float(jnp.sum(wav[:1, :8].astype(jnp.float32)))
     dt = time.time() - t0
@@ -244,7 +252,14 @@ def run_pr(B=8, wav_s=4.0, iters=20, n_symbols=64):
                          cfg.transformer.encoder_hidden)).astype(np.float32))
 
     @jax.jit
-    def transcribe(params, frozen, protos, wavs, wav_lens):
+    def transcribe(params, frozen, protos, wavs, wav_lens, prev):
+        # the previous call's prediction perturbs this call's input so
+        # iterations serialize honestly on the tunneled backend — IN-JIT:
+        # the round-4 eager-threading protocol (dw = dw + 1e-9 * pred[...]
+        # between calls) paid ~3 eager tunnel dispatches per iteration,
+        # most of the 110 ms/batch it reported (BASELINE.md round-4
+        # follow-up); the compute itself is ~20 ms
+        wavs = wavs + 1e-9 * prev[:, :1].astype(jnp.float32)
         logits = system.classify(
             params, protos,
             PRBatch(wavs, wav_lens, avg, batch.phonemes, batch.lang_ids,
@@ -252,20 +267,19 @@ def run_pr(B=8, wav_s=4.0, iters=20, n_symbols=64):
             upstream_params=frozen["upstream"])
         return jnp.argmax(logits, axis=-1)
 
+    from fscl_tpu.models.hubert import ssl_num_frames
     dw = jnp.asarray(wavs)
     dl = jnp.full((B,), T, jnp.int32)
+    pred = jnp.zeros((B, ssl_num_frames(T)), jnp.int32)
     t0 = time.time()
-    pred = transcribe(state.params, state.frozen, protos, dw, dl)
+    pred = transcribe(state.params, state.frozen, protos, dw, dl, pred)
     _ = int(pred[0, 0])                       # real readback ends the warmup
     compile_s = time.time() - t0
 
     n_frames = pred.shape[1]
     t0 = time.time()
     for _ in range(iters):
-        # thread the previous prediction into the input so iterations
-        # serialize honestly on the tunneled backend
-        dw = dw + 1e-9 * pred[:, :1].astype(jnp.float32)
-        pred = transcribe(state.params, state.frozen, protos, dw, dl)
+        pred = transcribe(state.params, state.frozen, protos, dw, dl, pred)
     _ = int(pred[0, 0])                       # real readback ends the timing
     dt = time.time() - t0
     frames = B * n_frames * iters

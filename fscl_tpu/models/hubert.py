@@ -261,6 +261,31 @@ def dequant_and_cast_inputs(params, wavs, compute_dtype: str):
     return params, wavs
 
 
+def storage_cast(params, compute_dtype: str):
+    """Cast a FROZEN param tree to its compute dtype ONCE, at storage time.
+
+    `dequant_and_cast_inputs` casts f32->bf16 inside every jitted forward;
+    at hubert-large size (~317M params) that is ~1.9 GB of HBM traffic per
+    call — measured ~1.8 ms/forward as the two `convert_element_type` rows
+    in benchmarks/profile_upstream_r4.json. The cast is deterministic, so
+    casting once when the frozen weights are installed is numerically
+    IDENTICAL to the per-call cast (the in-jit astype becomes an identity
+    XLA elides) and also halves the resident HBM footprint of the frozen
+    tower. One jitted program so the cast is a single device dispatch, not
+    one tiny op per leaf (the same tunnel concern jit_init exists for)."""
+    if compute_dtype != "bfloat16":
+        return params
+    import jax
+    import jax.numpy as jnp
+
+    def cast(x):
+        x = jnp.asarray(x)
+        return (x.astype(jnp.bfloat16)
+                if jnp.issubdtype(x.dtype, jnp.floating) else x)
+
+    return jax.jit(lambda p: jax.tree_util.tree_map(cast, p))(params)
+
+
 def frozen_upstream_features(upstream, params, wavs, wav_valid,
                              compute_dtype: str = "float32"):
     """Frozen (no-grad) upstream forward shared by every SSL system's

@@ -59,8 +59,11 @@ class ContiAESystem(System):
         self.upstream_params: Optional[Dict[str, Any]] = None
 
     def init_upstream(self, rng, example_wav):
+        from fscl_tpu.models.hubert import storage_cast
         from fscl_tpu.systems.base import jit_init
-        self.upstream_params = jit_init(self.upstream)(rng, example_wav)
+        self.upstream_params = storage_cast(
+            jit_init(self.upstream)(rng, example_wav),
+            self.model_cfg.upstream.compute_dtype)
 
     def extract_layer(self, wavs, wav_lens, upstream_params=None):
         from fscl_tpu.models.hubert import frozen_upstream_features

@@ -75,14 +75,20 @@ class TransEmbSystem(System):
 
     # -- upstream ------------------------------------------------------------
     def init_upstream(self, rng, example_wav) -> None:
+        from fscl_tpu.models.hubert import storage_cast
         from fscl_tpu.systems.base import jit_init
-        self.upstream_params = jit_init(self.upstream)(rng, example_wav)
+        self.upstream_params = storage_cast(
+            jit_init(self.upstream)(rng, example_wav),
+            self.model_cfg.upstream.compute_dtype)
 
     def load_upstream(self, variables) -> None:
         """Install (possibly converted) frozen upstream weights, auto-
-        matching the layer layout to scan_layers (hubert.adapt_layer_layout)."""
-        from fscl_tpu.models.hubert import adapt_layer_layout
-        self.upstream_params = adapt_layer_layout(self.upstream, variables)
+        matching the layer layout to scan_layers (hubert.adapt_layer_layout)
+        and pre-casting to the compute dtype (hubert.storage_cast)."""
+        from fscl_tpu.models.hubert import adapt_layer_layout, storage_cast
+        self.upstream_params = storage_cast(
+            adapt_layer_layout(self.upstream, variables),
+            self.model_cfg.upstream.compute_dtype)
 
     def extract_ssl(self, wavs, wav_lens, upstream_params=None):
         """Frozen SSL forward; gradients stopped (reference: torch.no_grad

@@ -138,8 +138,11 @@ class TransEmbT2USystem(System):
         self.upstream_params: Optional[Dict[str, Any]] = None
 
     def init_upstream(self, rng, example_wav) -> None:
+        from fscl_tpu.models.hubert import storage_cast
         from fscl_tpu.systems.base import jit_init
-        self.upstream_params = jit_init(self.upstream)(rng, example_wav)
+        self.upstream_params = storage_cast(
+            jit_init(self.upstream)(rng, example_wav),
+            self.model_cfg.upstream.compute_dtype)
 
     def extract_ssl(self, wavs, wav_lens, upstream_params=None):
         from fscl_tpu.models.hubert import frozen_upstream_features

@@ -310,3 +310,38 @@ def test_xlsr_config_and_upstream():
     up2 = make_upstream("wav2vec2_large_ll60k",
                         UpstreamConfig.from_name("wav2vec2_large_ll60k"))
     assert up2.extractor_mode == "layer_norm"
+
+
+def test_storage_cast_matches_per_call_cast():
+    """bf16-resident frozen params (hubert.storage_cast) produce
+    BIT-IDENTICAL hidden states to f32-stored params cast per call inside
+    frozen_upstream_features — the cast is deterministic, so hoisting it
+    to storage time changes nothing numerically while saving ~1.9 GB of
+    HBM traffic per hubert-large forward (profile_upstream_r4.json)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from fscl_tpu.models.hubert import (SSLUpstream, frozen_upstream_features,
+                                        storage_cast)
+    from fscl_tpu.ops.masking import length_mask
+
+    up = SSLUpstream(dim=16, n_layers=2, n_heads=2, ffn_dim=32)
+    rng = np.random.default_rng(3)
+    wavs = (rng.normal(size=(2, 8000)).astype(np.float32) * 0.3).clip(-1, 1)
+    valid = length_mask(jnp.asarray(np.array([8000, 5000], np.int32)), 8000)
+    params = up.init(jax.random.PRNGKey(0), jnp.asarray(wavs))
+
+    ref, fv_ref = frozen_upstream_features(
+        up, params, jnp.asarray(wavs), valid, "bfloat16")
+    stored = storage_cast(params, "bfloat16")
+    assert all(jnp.asarray(x).dtype == jnp.bfloat16
+               for x in jax.tree_util.tree_leaves(stored)
+               if jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating))
+    out, fv = frozen_upstream_features(
+        up, stored, jnp.asarray(wavs), valid, "bfloat16")
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(out))
+    np.testing.assert_array_equal(np.asarray(fv_ref), np.asarray(fv))
+
+    # float32 compute dtype: storage_cast is the identity
+    assert storage_cast(params, "float32") is params
