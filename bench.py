@@ -234,15 +234,36 @@ def main():
     # faster than f32 (65.1 vs 61.2 steps/s full-size) with a pinned
     # loss-parity test (tests/test_precision_parity.py; VERDICT r2 #2).
     sub_timeout = 600 if degraded else 1200
-    train_iters = ", iters=5" if degraded else ""
+    # production trainer mode: 16 optimizer steps scanned per dispatch
+    # (TrainConfig.steps_per_dispatch — same math as single dispatches,
+    # tests/test_trainer_multistep.py). A same-session k=1 control is
+    # recorded alongside so the dispatch-amortization delta is explicit
+    # (76.63 vs 73.89 steps/s measured 2026-08-20; tunnel-day variance
+    # moves both together, BASELINE.md r4 multistep section).
+    train_kw = (", iters=5, steps_per_dispatch=1" if degraded
+                else ", iters=12, steps_per_dispatch=16")
     _emit_subprocess_metric(
         "fastspeech2_train_steps_per_sec_full_size", "steps/s",
         "from benchmarks.bench_train_precision import measure; import json; "
-        f"r = measure('bfloat16'{train_iters}); r['metric'] = "
+        f"r = measure('bfloat16'{train_kw}); r['metric'] = "
         "'fastspeech2_train_steps_per_sec_full_size'; "
         "r['value'] = r.pop('steps_per_sec'); r['unit'] = 'steps/s'; "
         "print(json.dumps(r))", timeout=sub_timeout,
         baseline=ref.get("train_steps_per_sec"))
+    if not degraded:
+        # fresh-process k=1 control (in-process re-measure degrades,
+        # BASELINE.md MEASUREMENT PITFALL): the dispatch-amortization
+        # delta stays explicit in every BENCH record
+        _emit_subprocess_metric(
+            "fastspeech2_train_steps_per_sec_single_dispatch_control",
+            "steps/s",
+            "from benchmarks.bench_train_precision import measure; "
+            "import json; r = measure('bfloat16', iters=50, "
+            "steps_per_dispatch=1); r['metric'] = "
+            "'fastspeech2_train_steps_per_sec_single_dispatch_control'; "
+            "r['value'] = r.pop('steps_per_sec'); r['unit'] = 'steps/s'; "
+            "print(json.dumps(r))", timeout=sub_timeout,
+            baseline=ref.get("train_steps_per_sec"))
     _emit_subprocess_metric(
         "few_shot_adaptation_inner_loop_steps_per_sec", "steps/s",
         "import benchmarks.bench_adaptation as ba; import json; "

@@ -18,7 +18,8 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def measure(compute_dtype: str, B=16, L=128, T=512, iters=30):
+def measure(compute_dtype: str, B=16, L=128, T=512, iters=30,
+            steps_per_dispatch=1):
     import dataclasses
 
     import jax
@@ -31,18 +32,34 @@ def measure(compute_dtype: str, B=16, L=128, T=512, iters=30):
     cfg = dataclasses.replace(cfg, compute_dtype=compute_dtype)
     system = BaselineSystem(cfg, OptimConfig(batch_size=B), (("en", 361),))
     rng = np.random.default_rng(0)
-    dur = rng.integers(1, 5, (B, L)).astype(np.int32)
-    batch = Batch(
-        (np.arange(B) % 64).astype(np.int32),
-        rng.integers(1, 361, (B, L)).astype(np.int32),
-        np.full((B,), L, np.int32),
-        rng.normal(size=(B, T, 80)).astype(np.float32),
-        np.minimum(dur.sum(1), T).astype(np.int32),
-        rng.normal(size=(B, L)).astype(np.float32),
-        rng.normal(size=(B, L)).astype(np.float32),
-        dur, np.zeros((B,), np.int32))
+
+    def mk(seed):
+        r = np.random.default_rng(seed)
+        dur = r.integers(1, 5, (B, L)).astype(np.int32)
+        return Batch(
+            (np.arange(B) % 64).astype(np.int32),
+            r.integers(1, 361, (B, L)).astype(np.int32),
+            np.full((B,), L, np.int32),
+            r.normal(size=(B, T, 80)).astype(np.float32),
+            np.minimum(dur.sum(1), T).astype(np.int32),
+            r.normal(size=(B, L)).astype(np.float32),
+            r.normal(size=(B, L)).astype(np.float32),
+            dur, np.zeros((B,), np.int32))
+
+    batch = mk(0)
     state = system.init_state(jax.random.PRNGKey(0), batch)
-    step = jax.jit(system.train_step, donate_argnums=(0,))
+    k = steps_per_dispatch
+    if k > 1:
+        # production trainer mode (TrainConfig.steps_per_dispatch): k
+        # optimizer steps scanned inside one jitted program — bit-exact vs
+        # k single dispatches (tests/test_trainer_multistep.py), amortizes
+        # the ~1.3 ms per-dispatch tunnel gap (BASELINE.md r4 profile)
+        from fscl_tpu.train.trainer import (make_multi_train_step,
+                                            stack_batches)
+        step = make_multi_train_step(system, k)
+        batch = stack_batches([mk(i) for i in range(k)])
+    else:
+        step = jax.jit(system.train_step, donate_argnums=(0,))
     # pre-place the batch and base key once: the loop must issue NO per-step
     # host ops (uploads / eager PRNG) — on the tunneled chip those cost more
     # than the 15 ms device step itself (round-2 profiler)
@@ -59,8 +76,9 @@ def measure(compute_dtype: str, B=16, L=128, T=512, iters=30):
     dt = time.time() - t0
     return {
         "compute_dtype": compute_dtype,
-        "steps_per_sec": round(iters / dt, 2),
-        "ms_per_step": round(dt / iters * 1000, 1),
+        "steps_per_dispatch": k,
+        "steps_per_sec": round(iters * k / dt, 2),
+        "ms_per_step": round(dt / (iters * k) * 1000, 2),
         "compile_s": round(compile_s, 1),
         "loss": float(metrics["Total Loss"]),
     }

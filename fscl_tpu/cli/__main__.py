@@ -47,6 +47,10 @@ def main(argv=None):
     t.add_argument("--algorithm_config", default=None)
     t.add_argument("--exp_dir", default="output/exp")
     t.add_argument("--total_step", type=int, default=None)
+    t.add_argument("--steps_per_dispatch", type=int, default=None,
+                   help="optimizer steps scanned per device dispatch "
+                        "(TPU infeed amortization; log/val/save cadence "
+                        "must be multiples of k)")
     t.add_argument("--pretrain_ckpt", default=None)
     t.add_argument("--resume", action="store_true")
     t.add_argument("--n_devices", type=int, default=None)

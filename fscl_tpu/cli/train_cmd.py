@@ -48,6 +48,9 @@ def run(args):
                 else AlgorithmConfig(type=args.system))
     if args.total_step:
         train_cfg = dataclasses.replace(train_cfg, total_step=args.total_step)
+    if getattr(args, "steps_per_dispatch", None):
+        train_cfg = dataclasses.replace(
+            train_cfg, steps_per_dispatch=args.steps_per_dispatch)
 
     # register pseudo-unit inventories recorded by `make-units`
     # (reference: build_id2symbols adds common_symbols + unit ids,

@@ -186,6 +186,12 @@ class TrainConfig:
     # input-pipeline depth: batches prepared+placed ahead of the device
     # step by a background thread (0 disables; train/trainer.py)
     prefetch: int = 2
+    # optimizer steps executed per device dispatch: >1 scans the train
+    # step over k stacked batches inside ONE jitted program (TPU infeed
+    # amortization — removes the per-dispatch host/tunnel gap). Same math
+    # as k single dispatches (tests/test_trainer_multistep.py); log/val/
+    # save cadence must be multiples of k (asserted in Trainer.fit)
+    steps_per_dispatch: int = 1
     # output locations (reference: config/train/*-output.yaml `path:` block);
     # None -> the CLI's --exp_dir layout
     ckpt_path: Optional[str] = None
@@ -419,6 +425,8 @@ def train_config_from_yaml(paths) -> TrainConfig:
         val_step=s("val_step", 1000),
         save_step=s("save_step", 1000),
         seed=raw.get("seed", 43),
+        prefetch=raw.get("prefetch", 2),
+        steps_per_dispatch=raw.get("steps_per_dispatch", 1),
         ckpt_path=paths.get("ckpt_path"),
         log_path=paths.get("log_path"),
         result_path=paths.get("result_path"),

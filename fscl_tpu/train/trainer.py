@@ -38,6 +38,74 @@ def make_parallel_train_step(system: System, mesh: Mesh) -> Callable:
     )
 
 
+def make_multi_train_step(system: System, k: int,
+                          mesh: Optional[Mesh] = None) -> Callable:
+    """k optimizer steps per dispatch: `lax.scan` the train step over k
+    batches stacked on a leading axis, inside ONE jitted program.
+
+    Classic TPU infeed amortization — the per-dispatch host/tunnel gap
+    (~1.3 ms on a tunneled v5e, BASELINE.md round-4 profile) is paid once
+    per k steps instead of per step. The scan body is exactly
+    `system.train_step`, and the base RNG key is passed unchanged (the
+    step folds `state.step` into it on device), so k scanned steps are
+    the same math as k single dispatches — identical trajectories up to
+    compilation-variant fusion noise (~1e-8 abs; the scan body fuses
+    differently than the standalone jit — Adam's normalized update can
+    amplify this on near-cancelling gradients, see
+    tests/test_trainer_multistep.py). Returns (state, last-step
+    metrics) — the same contract as the single-step fn at a log boundary.
+    """
+    def multi(state, batches, rng):
+        def body(st, batch):
+            st, m = system.train_step(st, batch, rng)
+            return st, m
+        state, ms = jax.lax.scan(body, state, batches)
+        return state, jax.tree_util.tree_map(lambda x: x[-1], ms)
+
+    if mesh is not None:
+        rep = replicated(mesh)
+        # stacked leaves are (k, B, ...): scan axis replicated, batch
+        # axis sharded over `data`
+        kbsh = NamedSharding(mesh, P(None, DATA_AXIS))
+        return jax.jit(multi, in_shardings=(rep, kbsh, rep),
+                       out_shardings=(rep, rep), donate_argnums=(0,))
+    return jax.jit(multi, donate_argnums=(0,))
+
+
+def stack_batches(batches):
+    """Stack a list of identically-shaped batch pytrees on a new leading
+    axis (the scan axis for make_multi_train_step)."""
+    return jax.tree_util.tree_map(lambda *xs: np.stack(xs), *batches)
+
+
+def _group_stacked(iterator, k: int, limit: int, lead: int = 0):
+    """Tag a batch stream for the fit loop: `lead` single batches first
+    (so k-groups start on a step multiple of k after resume), then
+    ('multi', k, stacked) while >= k steps remain under `limit`, then
+    singles for the tail / a source that dries up mid-group."""
+    remaining = limit
+    buf = []
+    for b in iterator:
+        if remaining <= 0:
+            break
+        if lead > 0:
+            lead -= 1
+            remaining -= 1
+            yield ("single", 1, b)
+            continue
+        if remaining >= k:
+            buf.append(b)
+            if len(buf) == k:
+                yield ("multi", k, stack_batches(buf))
+                buf = []
+                remaining -= k
+        else:
+            remaining -= 1
+            yield ("single", 1, b)
+    for b in buf[: max(remaining, 0)]:
+        yield ("single", 1, b)
+
+
 def make_parallel_eval_step(system: System, mesh: Mesh) -> Callable:
     rep = replicated(mesh)
     bsh = batch_sharding(mesh)
@@ -107,6 +175,7 @@ class Trainer:
         from fscl_tpu.obs.profiling import PhaseTimer
         self.timer = PhaseTimer()
         self._train_step = None
+        self._multi_step = None
         self._eval_step = None
 
     def _lr_at(self, step: int) -> float:
@@ -144,14 +213,39 @@ class Trainer:
                                else jax.jit(self.system.eval_step))
         eval_step = self._eval_step
 
+        step = int(state.step)
+        k = getattr(self.cfg, "steps_per_dispatch", 1)
+        if k > 1:
+            for name in ("log_step", "val_step", "synth_step", "save_step"):
+                cadence = getattr(self.cfg, name, 10 ** 9)
+                assert cadence % k == 0 or cadence >= 10 ** 9, (
+                    f"steps_per_dispatch={k} requires {name}={cadence} to be "
+                    f"a multiple of k (cadence fires at dispatch boundaries)")
+            if self._multi_step is None:
+                self._multi_step = make_multi_train_step(
+                    self.system, k, self.mesh)
+            train_iter = _group_stacked(train_iter, k, max_steps - step,
+                                        lead=(-step) % k)
+        else:
+            train_iter = (("single", 1, b) for b in train_iter)
+
+        if self.mesh is not None:
+            multi_sh = NamedSharding(self.mesh, P(None, DATA_AXIS))
+
+        def place_item(item):
+            tag, n, b = item
+            if self.mesh is not None:
+                sh = multi_sh if tag == "multi" else batch_sharding(self.mesh)
+                b = jax.tree_util.tree_map(
+                    lambda x: jax.device_put(np.asarray(x), sh), b)
+            else:
+                b = jax.device_put(b)
+            return (tag, n, b)
+
         prefetch = getattr(self.cfg, "prefetch", 0)
         if prefetch > 0:
-            place = ((lambda b: place_batch(b, self.mesh))
-                     if self.mesh is not None else jax.device_put)
             train_iter = prefetch_batches(train_iter, size=prefetch,
-                                          place=place)
-
-        step = int(state.step)
+                                          place=place_item)
         metrics = None
         t_log = time.time()
         # the base key is passed UNCHANGED every step (train_step folds in
@@ -159,29 +253,29 @@ class Trainer:
         # issues zero per-step host RNG ops — on a tunneled TPU the eager
         # split() alone cost ~6 ms/step (round-2 profiler)
         rng = jax.device_put(rng)
-        for batch in train_iter:
+        for item in train_iter:
             if step >= max_steps:
                 break
             sub = rng
             if self.profile:
                 with self.timer.phase("place_batch"):
                     if prefetch == 0:
-                        batch = (place_batch(batch, self.mesh)
-                                 if self.mesh is not None
-                                 else jax.device_put(batch))
+                        item = place_item(item)
+                tag, n, batch = item
+                fn = self._multi_step if tag == "multi" else train_step
                 with self.timer.phase("train_step",
                                       block_on=state.step):
-                    state, metrics = train_step(state, batch, sub)
+                    state, metrics = fn(state, batch, sub)
             else:
                 if prefetch == 0:
                     # explicit placement even single-device: feeding numpy
                     # straight into the jitted step degrades long loops
                     # through the tunneled runtime (BASELINE.md round 2)
-                    batch = (place_batch(batch, self.mesh)
-                             if self.mesh is not None
-                             else jax.device_put(batch))
-                state, metrics = train_step(state, batch, sub)
-            step += 1
+                    item = place_item(item)
+                tag, n, batch = item
+                fn = self._multi_step if tag == "multi" else train_step
+                state, metrics = fn(state, batch, sub)
+            step += n
 
             if step % self.cfg.log_step == 0:
                 metrics = {k: float(v) for k, v in metrics.items()}
