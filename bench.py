@@ -1,13 +1,22 @@
 """Headline benchmark: FastSpeech2 synthesis mel-frames/sec/chip on TPU.
 
 Prints one JSON line per north-star metric from BASELINE.json:
-  1. few_shot_adaptation_inner_loop_steps_per_sec (on-chip lax.scan SGD)
-  2. fastspeech2_synthesis_mel_frames_per_sec_per_chip  (headline, LAST line
+  1. fastspeech2_train_steps_per_sec_full_size      (k=1, historical series)
+  2. fastspeech2_train_steps_per_sec_multistep_k16  (production trainer mode)
+  3. few_shot_adaptation_inner_loop_steps_per_sec   (canonical B4/L64/T256)
+  4. few_shot_adaptation_full_size_steps_per_sec    (rehearsal B8/L128/T512)
+  5. e2e_tts_realtime_factor_per_chip
+  6. t2u_unit_decode_units_per_sec                  (autoregressive decoder)
+  7. t2u_chained_tts_realtime_factor                (text->units->u2s->wav)
+  8. pr_transcription_realtime_factor               (protonet, hubert-large)
+  9. fastspeech2_synthesis_mel_frames_per_sec_per_chip (headline, LAST line
      so single-line parsers pick it up)
 Each line is {"metric", "value", "unit", "vs_baseline"}.
-Baseline = the reference's own FastSpeech2 running no-target synthesis on
-CPU PyTorch (benchmarks/measure_reference_cpu.py; same model size
-enc4/dec6 256d, same batch 8 x len 128).
+Baseline = the reference's own models running the same workloads on CPU
+PyTorch (benchmarks/measure_reference_cpu.py; same sizes and shapes).
+On transport failure EVERY metric above is emitted as a structured-error
+row (value null) carrying the probe's own timings — nothing silently
+vanishes from a BENCH record (VERDICT r4 weak #2).
 """
 from __future__ import annotations
 
@@ -16,6 +25,20 @@ import os
 import time
 
 import numpy as np
+
+# metric -> unit, for complete error records when the transport is down.
+# KEEP IN SYNC with the emit calls in main(); the wedged path iterates this.
+ALL_METRICS = (
+    ("fastspeech2_train_steps_per_sec_full_size", "steps/s"),
+    ("fastspeech2_train_steps_per_sec_multistep_k16", "steps/s"),
+    ("few_shot_adaptation_inner_loop_steps_per_sec", "steps/s"),
+    ("few_shot_adaptation_full_size_steps_per_sec", "steps/s"),
+    ("e2e_tts_realtime_factor_per_chip", "x realtime"),
+    ("t2u_unit_decode_units_per_sec", "units/s"),
+    ("t2u_chained_tts_realtime_factor", "x realtime"),
+    ("pr_transcription_realtime_factor", "x realtime"),
+    ("fastspeech2_synthesis_mel_frames_per_sec_per_chip", "mel-frames/s"),
+)
 
 
 def _emit_subprocess_metric(metric: str, unit: str, code: str,
@@ -45,16 +68,19 @@ def _emit_subprocess_metric(metric: str, unit: str, code: str,
             recs.append(json.loads(line))
         recs.sort(key=lambda r: r["value"])
         rec = recs[len(recs) // 2]
+        rec["metric"] = metric
+        rec["unit"] = unit
         if n_runs > 1:
             rec["runs"] = n_runs
             rec["runs_min"] = round(recs[0]["value"], 1)
             rec["runs_max"] = round(recs[-1]["value"], 1)
         rec["vs_baseline"] = (round(rec["value"] / baseline, 2)
                               if baseline else None)
-        print(json.dumps(rec))
+        print(json.dumps(rec), flush=True)
     except Exception as e:  # pragma: no cover - defensive
         print(json.dumps({"metric": metric, "value": None, "unit": unit,
-                          "vs_baseline": None, "error": str(e)[:200]}))
+                          "vs_baseline": None, "error": str(e)[:200]}),
+              flush=True)
 
 
 def pin_realistic_durations(params, frames_per_phoneme: float = 5.0):
@@ -83,66 +109,115 @@ def pin_realistic_durations(params, frames_per_phoneme: float = 5.0):
     return params
 
 
-def _probe_transport(timeout: int = 180):
-    """Tunnel-health probe in a BOUNDED subprocess (a single scalar
-    readback has been observed to take ~105 s when the tunnel degrades —
-    2026-08-17 — and an in-process probe cannot be timed out). Returns
-    median readback seconds, or None if the probe itself timed out."""
+def _probe_transport(budget: int = 420, attempts: int = 3,
+                     backoffs=(30, 90)):
+    """Tunnel-health probe in BOUNDED subprocesses.
+
+    Returns (median_rtt_seconds, diagnostics) — rtt is None only when
+    every attempt failed.
+
+    Hardened per VERDICT r4 weak #1 (the round-4 probe false-negatived a
+    healthy chip): the process's FIRST device readback lazily sets up the
+    tunnel channel and has been measured at ~175 s cold (BASELINE.md
+    round 3) — round 4's 180 s budget left a 5 s margin, so "cold" read
+    as "wedged" and every BENCH_r04 row went null. Now:
+      * the first readback is an UNTIMED warm-up (recorded, not judged);
+      * the per-attempt budget is 420 s, comfortably above the documented
+        cold-start;
+      * the probe retries (attempts total, with backoff) before declaring
+        the backend wedged;
+      * per-attempt timings come back in `diagnostics` and are embedded
+        in every error record so a null BENCH explains itself.
+    """
     import subprocess
     import sys
     code = (
         "import time, jax, jax.numpy as jnp\n"
         "jax.config.update('jax_compilation_cache_dir',"
         " '/tmp/fscl_tpu_jax_cache')\n"
+        "t0 = time.time()\n"
         "x = jnp.ones((256, 256))\n"
         "f = jax.jit(lambda a: a @ a)\n"
         "f(x).block_until_ready()\n"
+        "print('COMPILE', time.time() - t0, flush=True)\n"
+        # warm-up readback: the first scalar transfer through the tunnel
+        # lazily initializes the channel (observed 16-175 s); it must not
+        # count against the RTT verdict
+        "t0 = time.time()\n"
+        "float(jnp.sum(f(x)))\n"
+        "print('WARMUP', time.time() - t0, flush=True)\n"
         "rtts = []\n"
         "for _ in range(3):\n"
         "    t = time.time(); float(jnp.sum(f(x)));"
         " rtts.append(time.time() - t)\n"
-        "print('RTT', sorted(rtts)[1])\n")
-    try:
-        proc = subprocess.run([sys.executable, "-c", code],
-                              capture_output=True, text=True,
-                              timeout=timeout)
-        for line in proc.stdout.splitlines():
-            if line.startswith("RTT"):
-                return float(line.split()[1])
-    except Exception:
-        pass
-    return None
+        "print('RTT', sorted(rtts)[1], flush=True)\n")
+    diag = {"probe_budget_s": budget, "attempts": []}
+    for i in range(attempts):
+        att = {"outcome": "error"}
+        t_start = time.time()
+        try:
+            proc = subprocess.run([sys.executable, "-c", code],
+                                  capture_output=True, text=True,
+                                  timeout=budget)
+            for line in proc.stdout.splitlines():
+                parts = line.split()
+                if parts and parts[0] == "COMPILE":
+                    att["compile_s"] = round(float(parts[1]), 1)
+                elif parts and parts[0] == "WARMUP":
+                    att["warmup_readback_s"] = round(float(parts[1]), 1)
+                elif parts and parts[0] == "RTT":
+                    att["rtt_s"] = round(float(parts[1]), 4)
+                    att["outcome"] = "ok"
+            if att["outcome"] != "ok" and proc.stderr:
+                att["stderr_tail"] = proc.stderr.strip()[-200:]
+        except subprocess.TimeoutExpired:
+            att["outcome"] = "timeout"
+        except Exception as e:  # pragma: no cover - defensive
+            att["error"] = str(e)[:200]
+        att["elapsed_s"] = round(time.time() - t_start, 1)
+        diag["attempts"].append(att)
+        if att["outcome"] == "ok":
+            return att["rtt_s"], diag
+        if i < attempts - 1:
+            time.sleep(backoffs[min(i, len(backoffs) - 1)])
+    return None, diag
+
+
+def _emit_all_error_rows(reason: str, diag: dict):
+    """Every metric gets a structured-error row (VERDICT r4 weak #2: the
+    round-4 wedged path dropped e2e and the k=1 control from the record).
+    The probe's own timings ride along so a null BENCH is self-explaining."""
+    for metric, unit in ALL_METRICS:
+        print(json.dumps({
+            "metric": metric, "value": None, "unit": unit,
+            "vs_baseline": None, "error": reason,
+            "transport_probe": diag}), flush=True)
 
 
 def main():
-    import jax
-    jax.config.update("jax_compilation_cache_dir", "/tmp/fscl_tpu_jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    import jax.numpy as jnp
-
     # transport gate: when the tunnel is degraded (observed 30,000x RTT
     # inflation), every measurement below is transport-dominated — shrink
     # the iteration counts so the bench still completes and emits honest
     # (annotated) records instead of wedging past the driver's timeout
-    probe_rtt = _probe_transport()
+    probe_rtt, probe_diag = _probe_transport()
     if probe_rtt is None:
-        # not even one 256x256 readback inside the probe budget: the
-        # backend is down or wedged (observed 2026-08-17, 'UNAVAILABLE'
-        # after hours of degraded RTT). Running the bench anyway hangs for
-        # tens of minutes inside plugin retries — emit structured error
-        # records and stop.
-        for metric, unit in (
-                ("fastspeech2_train_steps_per_sec_full_size", "steps/s"),
-                ("few_shot_adaptation_inner_loop_steps_per_sec", "steps/s"),
-                ("fastspeech2_synthesis_mel_frames_per_sec_per_chip",
-                 "mel-frames/s")):
-            print(json.dumps({
-                "metric": metric, "value": None, "unit": unit,
-                "vs_baseline": None,
-                "error": "transport probe timed out: TPU backend "
-                         "unavailable or wedged"}))
+        # three bounded attempts, each with an untimed warm-up readback
+        # and a 420 s budget, all failed: the backend really is down or
+        # wedged (observed 2026-08-17, 'UNAVAILABLE' after hours of
+        # degraded RTT). Running the bench anyway hangs for tens of
+        # minutes inside plugin retries — emit structured error records
+        # for EVERY metric and stop.
+        _emit_all_error_rows(
+            "transport probe failed 3 bounded attempts (420 s budget, "
+            "untimed warm-up readback): TPU backend unavailable or wedged",
+            probe_diag)
         return
     degraded = probe_rtt > 0.5
+
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/tmp/fscl_tpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
 
     from fscl_tpu.core.config import ModelConfig, OptimConfig, SpeakerConfig
     from fscl_tpu.data.batch import Batch
@@ -192,8 +267,7 @@ def main():
     # (BASELINE.md round 3) — when rtt is large, every number below is
     # dominated by transport, not the chip.
     if degraded:
-        tunnel_rtt_ms = (round(probe_rtt * 1000, 1)
-                         if probe_rtt is not None else None)
+        tunnel_rtt_ms = round(probe_rtt * 1000, 1)
     else:
         rtts = []
         for _ in range(3):
@@ -214,8 +288,8 @@ def main():
     # reference torch CPU baselines, measured by the reference's own model
     # code (benchmarks/measure_reference_cpu.py --mode all): synthesis
     # frames/s ("value"), train_steps_per_sec, adapt_steps_per_sec,
-    # e2e_realtime_factor — every headline row gets a non-null
-    # vs_baseline (VERDICT r3 #2)
+    # adapt_full_steps_per_sec, e2e_realtime_factor, t2u/pr serving rows —
+    # every headline row gets a non-null vs_baseline (VERDICT r3 #2, r4 #2)
     baseline_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)),
         "benchmarks", "baseline_cpu.json")
@@ -234,48 +308,78 @@ def main():
     # faster than f32 (65.1 vs 61.2 steps/s full-size) with a pinned
     # loss-parity test (tests/test_precision_parity.py; VERDICT r2 #2).
     sub_timeout = 600 if degraded else 1200
-    # production trainer mode: 16 optimizer steps scanned per dispatch
-    # (TrainConfig.steps_per_dispatch — same math as single dispatches,
-    # tests/test_trainer_multistep.py). A same-session k=1 control is
-    # recorded alongside so the dispatch-amortization delta is explicit
-    # (76.63 vs 73.89 steps/s measured 2026-08-20; tunnel-day variance
-    # moves both together, BASELINE.md r4 multistep section).
-    train_kw = (", iters=5, steps_per_dispatch=1" if degraded
-                else ", iters=12, steps_per_dispatch=16")
+
+    # k=1 single-dispatch training keeps the HISTORICAL metric name and
+    # meaning (every BENCH_r01-r03 record was k=1; ADVICE r4 flagged the
+    # round-4 silent redefinition); the production trainer mode (16
+    # optimizer steps lax.scan-ed per dispatch, TrainConfig.
+    # steps_per_dispatch, same math as singles within fusion noise —
+    # tests/test_trainer_multistep.py) is its OWN metric right below.
     _emit_subprocess_metric(
         "fastspeech2_train_steps_per_sec_full_size", "steps/s",
         "from benchmarks.bench_train_precision import measure; import json; "
-        f"r = measure('bfloat16'{train_kw}); r['metric'] = "
-        "'fastspeech2_train_steps_per_sec_full_size'; "
-        "r['value'] = r.pop('steps_per_sec'); r['unit'] = 'steps/s'; "
-        "print(json.dumps(r))", timeout=sub_timeout,
-        baseline=ref.get("train_steps_per_sec"))
+        f"r = measure('bfloat16', iters={5 if degraded else 50}, "
+        "steps_per_dispatch=1); "
+        "r['value'] = r.pop('steps_per_sec'); print(json.dumps(r))",
+        timeout=sub_timeout, baseline=ref.get("train_steps_per_sec"))
     if not degraded:
-        # fresh-process k=1 control (in-process re-measure degrades,
-        # BASELINE.md MEASUREMENT PITFALL): the dispatch-amortization
-        # delta stays explicit in every BENCH record
         _emit_subprocess_metric(
-            "fastspeech2_train_steps_per_sec_single_dispatch_control",
-            "steps/s",
+            "fastspeech2_train_steps_per_sec_multistep_k16", "steps/s",
             "from benchmarks.bench_train_precision import measure; "
-            "import json; r = measure('bfloat16', iters=50, "
-            "steps_per_dispatch=1); r['metric'] = "
-            "'fastspeech2_train_steps_per_sec_single_dispatch_control'; "
-            "r['value'] = r.pop('steps_per_sec'); r['unit'] = 'steps/s'; "
-            "print(json.dumps(r))", timeout=sub_timeout,
-            baseline=ref.get("train_steps_per_sec"))
+            "import json; r = measure('bfloat16', iters=12, "
+            "steps_per_dispatch=16); "
+            "r['value'] = r.pop('steps_per_sec'); print(json.dumps(r))",
+            timeout=sub_timeout, baseline=ref.get("train_steps_per_sec"))
     _emit_subprocess_metric(
         "few_shot_adaptation_inner_loop_steps_per_sec", "steps/s",
         "import benchmarks.bench_adaptation as ba; import json; "
         "print(json.dumps(ba.main(emit=False)))", timeout=sub_timeout,
         baseline=ref.get("adapt_steps_per_sec"),
         n_runs=1 if degraded else 3)
+    if not degraded:
+        # the full-size protocol: the shape the language rehearsal actually
+        # adapts at (VERDICT r4 #8; reference
+        # config/algorithm/language/fscl.yaml:33-48 adapts full utterances)
+        _emit_subprocess_metric(
+            "few_shot_adaptation_full_size_steps_per_sec", "steps/s",
+            "import benchmarks.bench_adaptation as ba; import json; "
+            "print(json.dumps(ba.main(n_steps=200, B=8, L=128, T=512, "
+            "emit=False)))", timeout=sub_timeout,
+            baseline=ref.get("adapt_full_steps_per_sec"))
     _emit_subprocess_metric(
         "e2e_tts_realtime_factor_per_chip", "x realtime",
         "from benchmarks.bench_e2e_tts import run; import json; "
         f"r = run('bfloat16', iters={5 if degraded else 20}); "
         "r.pop('wav', None); r.pop('mel_len', None); print(json.dumps(r))",
         timeout=sub_timeout, baseline=ref.get("e2e_realtime_factor"))
+
+    # T2U / PR serving families (VERDICT r4 #2): the autoregressive unit
+    # decoder (SURVEY §7.3 hard part #1, reference tacot2u_model.py:293-362),
+    # the chained text->units->u2s->wav server, and protonet transcription
+    # (reference evaluation/protonet.py:28-217). Fresh-subprocess, in-jit
+    # threaded protocol (benchmarks/bench_t2u_pr.py). The t2u decoder's
+    # cold compile is ~210 s — its budget is wider.
+    t2u_iters = 3 if degraded else 10
+    _emit_subprocess_metric(
+        "t2u_unit_decode_units_per_sec", "units/s",
+        "from benchmarks.bench_t2u_pr import run_unit_decode; import json; "
+        f"print(json.dumps(run_unit_decode(iters={t2u_iters})))",
+        timeout=max(sub_timeout, 900),
+        baseline=ref.get("t2u_unit_decode_units_per_sec"))
+    _emit_subprocess_metric(
+        "t2u_chained_tts_realtime_factor", "x realtime",
+        "from benchmarks.bench_t2u_pr import run_chained; import json; "
+        f"print(json.dumps(run_chained(iters={t2u_iters})))",
+        timeout=max(sub_timeout, 900),
+        baseline=ref.get("t2u_chained_tts_realtime_factor"))
+    _emit_subprocess_metric(
+        "pr_transcription_realtime_factor", "x realtime",
+        "from benchmarks.bench_t2u_pr import run_pr; import json; "
+        f"r = run_pr(iters={3 if degraded else 20}); "
+        "r['frames_per_sec'] = r['value']; r['value'] = r.pop('x_realtime'); "
+        "print(json.dumps(r))",
+        timeout=max(sub_timeout, 900),
+        baseline=ref.get("pr_transcription_realtime_factor"))
 
     rec = {
         "metric": "fastspeech2_synthesis_mel_frames_per_sec_per_chip",
@@ -286,7 +390,7 @@ def main():
     }
     if degraded:
         rec["transport_degraded"] = True
-    print(json.dumps(rec))
+    print(json.dumps(rec), flush=True)
 
 
 if __name__ == "__main__":

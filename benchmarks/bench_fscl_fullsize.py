@@ -26,7 +26,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main(n_steps: int = 30, sup_secs: float = 4.0, emit: bool = True,
-         scan_layers: bool = True, bf16_upstream: bool = False):
+         scan_layers: bool = True, bf16_upstream: bool = False,
+         upstream: str = "hubert_large_ll60k"):
     import jax
     jax.config.update("jax_compilation_cache_dir", "/tmp/fscl_tpu_jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
@@ -47,9 +48,14 @@ def main(n_steps: int = 30, sup_secs: float = 4.0, emit: bool = True,
 
     # scan_layers: same function, ~24x smaller traced graph — the unrolled
     # episode step does not finish compiling in 30 min through the tunnel
+    # `upstream` proves interchangeability in execution (VERDICT r4 #5):
+    # the reference treats hubert_large_ll60k / wav2vec2 / xlsr_53 as
+    # drop-in choices (Define.py:32-51). wav2vec2 (base) is 768d/12
+    # layers; xlsr_53 is 1024d/24 layers like hubert-large.
     cfg = ModelConfig(
         speaker=SpeakerConfig(n_speakers=64), max_seq_len=1000,
-        upstream=UpstreamConfig(
+        upstream=dataclasses.replace(
+            UpstreamConfig.from_name(upstream),
             scan_layers=scan_layers,
             compute_dtype="bfloat16" if bf16_upstream else "float32"))
     system = TransEmbSystem(cfg, OptimConfig(), n_sym)
@@ -91,6 +97,7 @@ def main(n_steps: int = 30, sup_secs: float = 4.0, emit: bool = True,
 
     result = {
         "metric": "fscl_meta_episodes_per_sec_fullsize",
+        "upstream": upstream,
         "scan_layers": scan_layers,
         "bf16_upstream": bf16_upstream,
         "value": round(n_steps / dt, 2),
@@ -113,4 +120,7 @@ if __name__ == "__main__":
         kw["sup_secs"] = float(sys.argv[2])
     if "--bf16" in sys.argv:
         kw["bf16_upstream"] = True
+    for a in sys.argv:
+        if a.startswith("--upstream="):
+            kw["upstream"] = a.split("=", 1)[1]
     main(**kw)

@@ -51,8 +51,9 @@ def measure(compute_dtype: str, B=16, L=128, T=512, iters=30,
     k = steps_per_dispatch
     if k > 1:
         # production trainer mode (TrainConfig.steps_per_dispatch): k
-        # optimizer steps scanned inside one jitted program — bit-exact vs
-        # k single dispatches (tests/test_trainer_multistep.py), amortizes
+        # optimizer steps scanned inside one jitted program — same math as
+        # k single dispatches, equal within atol=5e-4 fusion noise
+        # (tests/test_trainer_multistep.py), amortizes
         # the ~1.3 ms per-dispatch tunnel gap (BASELINE.md r4 profile)
         from fscl_tpu.train.trainer import (make_multi_train_step,
                                             stack_batches)

@@ -264,6 +264,142 @@ def measure_adapt(model, emb, steps=30, B=4, L=64, T=256):
     return {"adapt_steps_per_sec": steps / dt, "adapt_steps": steps}
 
 
+def _build_ref_t2u_decoder(n_units=512, L=64):
+    """Instantiate the reference's OWN Tacotron2 unit decoder
+    (lightning/systems/t2u/tacotron2/tacot2u_model.py:158-362) at its own
+    operating point (config/model/tacot2u.yaml: 512-d decoder/attention
+    LSTMs, 256-d encoder memory, d_unit 256; n_units is data-derived —
+    TacoT2U.py:22-23 — 512 for a 512-unit km codebook). NOTE: the TPU-side
+    decoder (fscl_tpu/models/tacotron2_t2u.py) runs LARGER 1024-d LSTMs,
+    so the vs_baseline ratio under-credits the TPU per-step work.
+
+    The final projection's bias is pinned so unit 8 (`<eos>`,
+    tacot2u_model.py:349) is never the argmax: an untrained decoder can
+    emit it on step 1, and the denominator must time a full decode to
+    max_decoder_ratio * L steps — the same step count the TPU bench
+    always executes (static-shape scan).
+
+    Loaded by file path under a synthetic package: importing it normally
+    would execute lightning/systems/__init__.py, which drags in every
+    system (s3prl, transformers heads, ...)."""
+    import importlib.util
+    pkgdir = os.path.join(REF, "lightning", "systems", "t2u", "tacotron2")
+    pkgname = "ref_tacotron2"
+    if pkgname not in sys.modules:
+        pkg = types.ModuleType(pkgname)
+        pkg.__path__ = [pkgdir]
+        sys.modules[pkgname] = pkg
+        for mod in ("hparams", "layers", "tacot2u_model"):
+            spec = importlib.util.spec_from_file_location(
+                f"{pkgname}.{mod}", os.path.join(pkgdir, mod + ".py"))
+            m = importlib.util.module_from_spec(spec)
+            sys.modules[f"{pkgname}.{mod}"] = m
+            spec.loader.exec_module(m)
+    tm = sys.modules[f"{pkgname}.tacot2u_model"]
+
+    for k, v in (("decoder_rnn_dim", 512), ("attention_rnn_dim", 512),
+                 ("encoder_embedding_dim", 256), ("symbols_embedding_dim",
+                  256), ("d_unit", 256), ("n_units", n_units),
+                 ("max_decoder_ratio", 10)):
+        setattr(tm.hps, k, v)
+    dec = tm.Decoder().eval()
+    with torch.no_grad():
+        dec.final_proj.bias[8] = -1e9
+    return dec, tm.hps
+
+
+def measure_t2u(iters=2, L=64, n_units=512, sr=22050, hop=256):
+    """Reference CPU T2U serving rows, mirroring benchmarks/bench_t2u_pr.py:
+
+    * t2u_unit_decode_units_per_sec — Decoder.inference
+      (tacot2u_model.py:330-362). The reference decoder does NOT support
+      batched inference (its own comment, line 330), so B=1 is its honest
+      serving throughput; the TPU row's batched lax.scan decode (B=8) is
+      an architecture advantage the ratio legitimately credits.
+    * t2u_chained_tts_realtime_factor — units -> u2s FastSpeech2 ->
+      HiFiGAN V1 wav (TransEmbE2ETune.py:169-193 chaining), B=1.
+    """
+    dec, hps = _build_ref_t2u_decoder(n_units=n_units, L=L)
+    g = torch.Generator().manual_seed(3)
+    memory = torch.randn(1, L, hps.encoder_embedding_dim, generator=g)
+    with torch.no_grad():
+        dec.inference(torch.randn(1, 8, hps.encoder_embedding_dim,
+                                  generator=g))    # warmup (80 steps)
+        t0 = time.time()
+        steps = 0
+        for _ in range(iters):
+            logits, _ = dec.inference(memory)
+            steps += logits.shape[1]
+        dt = time.time() - t0
+    units_per_sec = steps / dt
+    rec = {"t2u_unit_decode_units_per_sec": units_per_sec,
+           "t2u_decode_steps": steps, "t2u_decode_batch": 1,
+           "t2u_note": "reference decoder is inference-unbatched "
+                       "(tacot2u_model.py:330) at its own 512-d config; "
+                       "TPU row decodes B=8 with 1024-d LSTMs"}
+    return rec
+
+
+def measure_t2u_chained(model, n_units_seq=192, L=64, n_units=512,
+                        sr=22050, hop=256):
+    """text -> units (reference decoder) -> u2s FastSpeech2 -> HiFiGAN V1
+    wav at B=1, the reference's e2e T2U serving chain."""
+    dec, hps = _build_ref_t2u_decoder(n_units=n_units, L=L)
+    voc = _TorchHiFiGANV1().eval()
+    g = torch.Generator().manual_seed(4)
+    memory = torch.randn(1, L, hps.encoder_embedding_dim, generator=g)
+    emb = torch.randn(1, n_units_seq, 256, generator=g)
+    src_lens = torch.full((1,), n_units_seq, dtype=torch.long)
+    spk = torch.zeros(1, dtype=torch.long)
+    lang = torch.zeros(1, dtype=torch.long)
+    model.eval()
+    with torch.no_grad():
+        voc(torch.randn(1, 80, 32, generator=g))   # warmup
+        t0 = time.time()
+        _ = dec.inference(memory)                  # stage 1: units
+        out = model(spk, emb, src_lens, n_units_seq, lang_args=lang)
+        mel = out[1][:, : int(out[9].max().item())]
+        voc(mel.transpose(1, 2))                   # stage 3: wav
+        dt = time.time() - t0
+        audio_sec = float(out[9].sum().item()) * hop / sr
+    return {"t2u_chained_tts_realtime_factor": audio_sec / dt,
+            "t2u_chained_batch": 1,
+            "t2u_chained_units_per_utt": n_units_seq}
+
+
+def measure_pr(wav_s=4.0, iters=1, n_symbols=64, d_down=256):
+    """Reference CPU protonet query transcription
+    (evaluation/protonet.py:28-217): hubert-large upstream (the
+    reference's Define.py:32-51 UPSTREAM, instantiated from the
+    transformers hubert-large architecture since zero egress bars the
+    s3prl download; throughput is weight-independent) -> weighted-sum ->
+    linear downstream -> -L2 distance to per-phoneme prototypes -> frame
+    argmax. B=1 on a 1-vCPU host; x-realtime normalizes by audio secs."""
+    from transformers import HubertConfig, HubertModel
+    hc = HubertConfig(hidden_size=1024, num_hidden_layers=24,
+                      num_attention_heads=16, intermediate_size=4096)
+    up = HubertModel(hc).eval()
+    down = torch.nn.Linear(1024, d_down)
+    protos = torch.randn(n_symbols, d_down)
+    T = int(wav_s * 16000)
+    g = torch.Generator().manual_seed(5)
+    wav = torch.randn(1, T, generator=g) * 0.1
+    with torch.no_grad():
+        up(torch.randn(1, 8000, generator=g))      # warmup (0.5 s wav)
+        t0 = time.time()
+        for _ in range(iters):
+            h = up(wav, output_hidden_states=True).hidden_states
+            h = torch.stack(h, 0).mean(0)          # layer weighted-sum
+            z = down(h)                            # (1, T', d)
+            dist = torch.cdist(z, protos.unsqueeze(0))
+            pred = dist.argmin(-1)
+        dt = time.time() - t0
+    return {"pr_transcription_realtime_factor": wav_s * iters / dt,
+            "pr_frames_per_sec": pred.shape[1] * iters / dt,
+            "pr_batch": 1, "pr_wav_seconds": wav_s,
+            "pr_upstream": "hubert-large (torch CPU, 24 layers, 1024-d)"}
+
+
 def measure_e2e(model, iters=1, B=8, L=128, sr=22050, hop=256):
     """Reference CPU end-to-end TTS serving (synthesis + HiFiGAN V1
     vocoder), same workload as benchmarks/bench_e2e_tts.py. Returns the
@@ -300,7 +436,8 @@ def main():
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--threads", type=int, default=0)
     ap.add_argument("--mode", default="synth",
-                    choices=["synth", "train", "adapt", "e2e", "all"],
+                    choices=["synth", "train", "adapt", "adapt_full",
+                             "e2e", "t2u", "pr", "all"],
                     help="which reference CPU baseline(s) to measure; "
                          "non-synth results merge into baseline_cpu.json "
                          "(VERDICT r3 #2: every headline metric gets a "
@@ -399,8 +536,21 @@ def main():
     if args.mode in ("adapt", "all"):
         emb_table = torch.nn.Embedding(361, 256)
         result.update(measure_adapt(model, emb_table))
+    if args.mode in ("adapt_full", "all"):
+        # the full-size protocol: the shape the language rehearsal adapts
+        # at (B=8 full utterances, L=128/T=512; VERDICT r4 #8)
+        emb_table = torch.nn.Embedding(361, 256)
+        r = measure_adapt(model, emb_table, steps=10, B=8, L=128, T=512)
+        result.update({"adapt_full_steps_per_sec": r["adapt_steps_per_sec"],
+                       "adapt_full_steps": r["adapt_steps"],
+                       "adapt_full_shapes": "B8/L128/T512 SGD lr 1e-4"})
     if args.mode in ("e2e", "all"):
         result.update(measure_e2e(model))
+    if args.mode in ("t2u", "all"):
+        result.update(measure_t2u())
+        result.update(measure_t2u_chained(model))
+    if args.mode in ("pr", "all"):
+        result.update(measure_pr())
 
     print(json.dumps(result))
     with open(out_path, "w") as f:

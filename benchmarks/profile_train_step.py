@@ -113,20 +113,51 @@ def report(log_dir: str) -> dict:
               f"{a.get('hlo_category', ''):20s} {tf_op}")
         top.append({"op": name, "us_per_step": round(us / N_STEPS, 1),
                     "category": a.get("hlo_category", ""), "tf_op": tf_op})
+    # The loop-fusion bucket op-by-op (VERDICT r4 weak #3: categories are
+    # not an argument — each remaining elementwise op must be either cut
+    # or shown at its bandwidth bound). Emits every arg the runtime
+    # attaches (bytes accessed when present) so BASELINE.md can carry a
+    # per-op bytes/bandwidth table.
+    print("\ntop-15 loop-fusion ops by self-time:")
+    lf = []
+    lf_ops = [(n, us) for n, us in op_us.items()
+              if op_args[n].get("hlo_category") == "loop fusion"]
+    for name, us in sorted(lf_ops, key=lambda kv: -kv[1])[:15]:
+        a = op_args[name]
+        rec = {"op": name, "us_per_step": round(us / N_STEPS, 1),
+               "tf_op": str(a.get("tf_op", ""))[-90:]}
+        for k in ("bytes_accessed", "memory_bandwidth",
+                  "bytes accessed", "source"):
+            if a.get(k):
+                rec[k.replace(" ", "_")] = a[k]
+        print(f"  {rec['us_per_step']:8.1f} us/step  {name[:28]:28s} "
+              f"{rec['tf_op'][-60:]}")
+        lf.append(rec)
+    lf_total = sum(us for _, us in lf_ops)
+    lf_n = len(lf_ops)
+    print(f"loop-fusion total: {lf_total / N_STEPS:.1f} us/step over "
+          f"{lf_n} distinct fusions; top-15 cover "
+          f"{sum(r['us_per_step'] for r in lf)} us/step")
+
     while_us = sum(us for n, us in op_us.items() if "while" in n)
     print(f"\nserial while-loop family: {while_us / N_STEPS:.1f} us/step")
     return {"ms_per_step_device": round(total_us / N_STEPS / 1e3, 3),
             "categories": table, "top_ops": top,
+            "top_loop_fusion": lf,
+            "loop_fusion_total_us_per_step": round(lf_total / N_STEPS, 1),
+            "loop_fusion_n_ops": lf_n,
             "while_us_per_step": round(while_us / N_STEPS, 1)}
 
 
 def main():
-    log_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/train_trace_r4"
+    log_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/train_trace_r5"
+    out_path = (sys.argv[2] if len(sys.argv) > 2 else
+                os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "profile_train_r5.json"))
     if not glob.glob(log_dir + "/**/*.trace.json.gz", recursive=True):
         capture(log_dir)
     out = report(log_dir)
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "profile_train_r4.json"), "w") as f:
+    with open(out_path, "w") as f:
         json.dump(out, f, indent=1)
 
 

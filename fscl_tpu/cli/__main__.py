@@ -1,6 +1,7 @@
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
 
@@ -201,6 +202,12 @@ def main(argv=None):
     r.add_argument("--queries", type=int, default=2)
     r.add_argument("--corpus_utts", type=int, default=12,
                    help="utterances per synthetic corpus")
+    r.add_argument("--corpus_cache",
+                   default=os.path.join(os.path.expanduser("~"), ".cache",
+                                        "fscl_tpu", "corpora"),
+                   help="persist synthetic corpora across rehearsal runs "
+                        "under a content-hash key (generation params + "
+                        "source hash); '' disables")
     r.add_argument("--lr", type=float, default=1e-3)
     r.add_argument("--adapt_lr", type=float, default=1e-4)
     r.add_argument("--data_config", action="append", default=None,

@@ -117,28 +117,34 @@ def _corpora(args, phases):
             target_cfg = read_data_config(args.target)
         else:
             n = args.corpus_utts
+            cache = getattr(args, "corpus_cache", None) or None
             paths = [
                 make_synthetic_corpus(
                     os.path.join(args.exp_dir, f"corpus_l{i}"),
                     name=f"meta-l{i}", n_utts=n, seed=i + 1,
-                    f0_base=120.0 + 40.0 * i, lang_id=i)
+                    f0_base=120.0 + 40.0 * i, lang_id=i, cache_dir=cache)
                 for i in range(2)]
             target_path = make_synthetic_corpus(
                 os.path.join(args.exp_dir, "corpus_target"),
-                name="target", n_utts=n, seed=7, f0_base=200.0, lang_id=2)
+                name="target", n_utts=n, seed=7, f0_base=200.0, lang_id=2,
+                cache_dir=cache)
             meta_cfgs = [read_data_config(p) for p in paths]
             target_cfg = read_data_config(target_path)
     return meta_cfgs, target_cfg
 
 
-def _gate(report, name, ok, detail, enforced=True):
+def _gate(report, name, ok, detail, enforced=True, bar=None):
     """Record a quality gate (VERDICT r3 #8: rehearsals must FAIL when
     adaptation stops improving synthesis quality, not just log numbers).
     `enforced=False` records the outcome without failing the run — used
     for smoke-preset runs whose handful of adaptation steps cannot
-    meaningfully move a quality metric."""
-    report.setdefault("gates", {})[name] = {
-        "ok": bool(ok), "detail": detail, "enforced": bool(enforced)}
+    meaningfully move a quality metric. `bar` records the numeric
+    regression bar the gate enforces (VERDICT r4 weak #6: gates must
+    assert margin, not just direction)."""
+    rec = {"ok": bool(ok), "detail": detail, "enforced": bool(enforced)}
+    if bar is not None:
+        rec["bar"] = bar
+    report.setdefault("gates", {})[name] = rec
 
 
 def _finish(args, phases, report, lines):
@@ -498,6 +504,14 @@ def run_fscl(args):
           mcd_post < mcd_pre,
           f"teacher-forced MCD transplant-only {mcd_pre:.3f} -> "
           f"adapted {mcd_post:.3f}", enforced=serious)
+    # numeric regression bar from the measured round-3/4 full-preset
+    # values (duration-FER 0.028; VERDICT r4 #7): direction-only gates
+    # would pass a multiple-x regression
+    _gate(report, "duration_fer_margin",
+          report["duration_fer"] < 0.06,
+          f"duration-FER {report['duration_fer']:.3f} (bar < 0.06, "
+          f"measured r3 full preset 0.028)", enforced=serious,
+          bar="duration_fer < 0.06")
 
     return _finish(args, phases, report, [
         f"meta loss {report['meta_first_loss']:.3f} -> "
@@ -726,6 +740,13 @@ def run_t2u(args):
           f"teacher-forced unit acc transplant-only "
           f"{report['tune_unit_acc_transplant_only']:.3f} -> tuned "
           f"{report['tune_unit_acc_post']:.3f}", enforced=serious)
+    # numeric regression bar from the measured round-4 full preset
+    # (tuned unit acc 0.92; VERDICT r4 #7)
+    _gate(report, "tuned_unit_acc_margin",
+          report["tune_unit_acc_post"] > 0.8,
+          f"tuned unit acc {report['tune_unit_acc_post']:.3f} "
+          f"(bar > 0.8, measured r4 full preset 0.92)",
+          enforced=serious, bar="tune_unit_acc_post > 0.8")
 
     # the tune loop donated its state each step, deleting the buffers
     # u2s_state pointed at (the frozen u2s now travels in TrainState.frozen
@@ -927,6 +948,12 @@ def run_pr(args):
     _gate(report, "fer_beats_chance", report["fer"] < 0.9,
           f"zero-shot FER {report['fer']:.3f} (chance ~0.95+)",
           enforced=serious)
+    # numeric regression bar from the measured round-4 full preset
+    # (zero-shot FER 0.25; VERDICT r4 #7 — the chance-level 0.9 bar
+    # would pass a 3.6x regression)
+    _gate(report, "fer_margin", report["fer"] < 0.5,
+          f"zero-shot FER {report['fer']:.3f} (bar < 0.5, measured r4 "
+          f"full preset 0.25)", enforced=serious, bar="fer < 0.5")
 
     return _finish(args, phases, report, [
         f"pr loss {report['pr_first_loss']:.3f} -> "

@@ -218,9 +218,15 @@ class Trainer:
         if k > 1:
             for name in ("log_step", "val_step", "synth_step", "save_step"):
                 cadence = getattr(self.cfg, name, 10 ** 9)
-                assert cadence % k == 0 or cadence >= 10 ** 9, (
-                    f"steps_per_dispatch={k} requires {name}={cadence} to be "
-                    f"a multiple of k (cadence fires at dispatch boundaries)")
+                # user-config validation must survive `python -O` (which
+                # strips asserts): a misaligned cadence would silently
+                # never fire log/val/SAVE boundaries since step advances
+                # by k per dispatch
+                if not (cadence % k == 0 or cadence >= 10 ** 9):
+                    raise ValueError(
+                        f"steps_per_dispatch={k} requires {name}={cadence} "
+                        f"to be a multiple of k (cadence fires at dispatch "
+                        f"boundaries)")
             if self._multi_step is None:
                 self._multi_step = make_multi_train_step(
                     self.system, k, self.mesh)

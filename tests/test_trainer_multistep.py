@@ -39,7 +39,7 @@ def _assert_trees_close(a, b):
                                    rtol=0, atol=5e-4)
 
 
-def test_multi_step_matches_singles_bitwise():
+def test_multi_step_matches_singles():
     system = _tiny_system()
     key = jax.random.PRNGKey(7)
     batches = [_mk_batch(s) for s in range(4)]
@@ -114,12 +114,9 @@ def test_cadence_must_divide_k():
                       save_step=10 ** 9, prefetch=0, steps_per_dispatch=4)
     trainer = Trainer(system, cfg)
     state = system.init_state(jax.random.PRNGKey(0), _mk_batch(0))
-    try:
+    import pytest
+    with pytest.raises(ValueError, match="log_step"):
         trainer.fit(state, iter([_mk_batch(0)]))
-    except AssertionError as e:
-        assert "log_step" in str(e)
-    else:
-        raise AssertionError("misaligned cadence should be rejected")
 
 
 def test_group_stacked_shapes_and_tail():
@@ -137,7 +134,8 @@ def test_multi_step_on_virtual_mesh():
     from jax.sharding import Mesh
     devs = np.array(jax.devices()[:2])
     if devs.size < 2:
-        return
+        import pytest
+        pytest.skip("needs >=2 devices (virtual CPU mesh)")
     mesh = Mesh(devs, ("data",))
     system = _tiny_system()
     multi = make_multi_train_step(system, 2, mesh)
