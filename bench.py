@@ -322,6 +322,16 @@ def main():
         "steps_per_dispatch=1); "
         "r['value'] = r.pop('steps_per_sec'); print(json.dumps(r))",
         timeout=sub_timeout, baseline=ref.get("train_steps_per_sec"))
+    def _emit_degraded_skip(metric, unit):
+        # a transport-degraded chip yields transport-bound numbers for the
+        # long multi-minute rows; record WHY the row is absent instead of
+        # dropping it (the ALL_METRICS completeness contract)
+        print(json.dumps({
+            "metric": metric, "value": None, "unit": unit,
+            "vs_baseline": None,
+            "error": "skipped: transport degraded "
+                     f"(probe rtt {probe_rtt:.3f}s > 0.5s)"}), flush=True)
+
     if not degraded:
         _emit_subprocess_metric(
             "fastspeech2_train_steps_per_sec_multistep_k16", "steps/s",
@@ -330,6 +340,9 @@ def main():
             "steps_per_dispatch=16); "
             "r['value'] = r.pop('steps_per_sec'); print(json.dumps(r))",
             timeout=sub_timeout, baseline=ref.get("train_steps_per_sec"))
+    else:
+        _emit_degraded_skip("fastspeech2_train_steps_per_sec_multistep_k16",
+                            "steps/s")
     _emit_subprocess_metric(
         "few_shot_adaptation_inner_loop_steps_per_sec", "steps/s",
         "import benchmarks.bench_adaptation as ba; import json; "
@@ -346,6 +359,9 @@ def main():
             "print(json.dumps(ba.main(n_steps=200, B=8, L=128, T=512, "
             "emit=False)))", timeout=sub_timeout,
             baseline=ref.get("adapt_full_steps_per_sec"))
+    if degraded:
+        _emit_degraded_skip("few_shot_adaptation_full_size_steps_per_sec",
+                            "steps/s")
     _emit_subprocess_metric(
         "e2e_tts_realtime_factor_per_chip", "x realtime",
         "from benchmarks.bench_e2e_tts import run; import json; "
